@@ -1,0 +1,286 @@
+"""Model & State: the world as data.
+
+The reference represents a world as a pointer-rich mutable object graph
+(`dart/simulation/World`, `dart/dynamics/Skeleton`). Here a world IS a
+pytree: static topology metadata (joint types, parent indices, dof layout)
+lives in hashable aux data so `jit` specializes on it, while every numeric
+parameter (transforms, inertias, limits, gravity, dt) is a differentiable
+array leaf — which is what makes system-ID gradients (the reference's
+`WithRespectTo` machinery, `dart/neural/WithRespectTo.hpp:66-75`) fall out
+of plain JAX AD wrt the model pytree.
+
+Bodies and joints are 1:1 as in DART: body i's parent joint is joint i;
+`parents[i]` is the parent *body* index (-1 = world). Topologically sorted:
+parents[i] < i.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nimblephysics_tpu.ops.lie import Transform
+
+# Number of dofs contributed by each joint type.
+JOINT_NDOF = {
+    "weld": 0,
+    "revolute": 1,
+    "prismatic": 1,
+    "universal": 2,
+    "translational2d": 2,
+    "translational": 3,
+    "planar": 3,
+    "ball": 3,
+    "euler_xyz": 3,
+    "euler_zyx": 3,
+    "free": 6,
+}
+
+# Collision shape kinds. Params layout per kind (all padded into a (4,) vector):
+#   box:      [sx, sy, sz, 0]        full extents
+#   sphere:   [r, 0, 0, 0]
+#   capsule:  [r, h, 0, 0]           axis = local z, h = cylinder length
+#   halfspace:[nx, ny, nz, offset]   plane n·x = offset (static geometry only)
+SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShapeSpec:
+    """One collision shape attached to a body (body_index == -1: static world
+    geometry, e.g. a floor). Mirrors a DART ShapeNode with collision aspect
+    + its DynamicsAspect (friction/restitution)."""
+
+    kind: str = dataclasses.field(metadata=dict(static=True))
+    body_index: int = dataclasses.field(metadata=dict(static=True))
+    offset: Transform = dataclasses.field(
+        default_factory=lambda: Transform.identity(jnp.float64)
+    )
+    params: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros(4, dtype=jnp.float64)
+    )
+    friction: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(1.0, dtype=jnp.float64)
+    )
+    restitution: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(0.0, dtype=jnp.float64)
+    )
+
+
+class State(NamedTuple):
+    """Simulation state: generalized positions and velocities.
+
+    The RL-style flat state of the reference (`World::getState`,
+    `World.hpp:483`) is `concat([q, v])`; use `flat()`/`State.from_flat`.
+    """
+
+    q: jax.Array
+    v: jax.Array
+
+    def flat(self) -> jax.Array:
+        return jnp.concatenate([self.q, self.v], axis=-1)
+
+    @staticmethod
+    def from_flat(x: jax.Array) -> "State":
+        nq = x.shape[-1] // 2
+        return State(q=x[..., :nq], v=x[..., nq:])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """A full world: topology (static) + parameters (differentiable leaves)."""
+
+    # ---- static topology (hashable metadata; jit specializes on these) ----
+    joint_types: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
+    parents: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    joint_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
+    body_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
+
+    # ---- per-joint fixed frames ----
+    # T_pj: pose of the joint frame in the parent body frame (joint -> parent op)
+    # T_cj: pose of the joint frame in the child body frame (joint -> child op)
+    # (DART: mT_ParentBodyToJoint / mT_ChildBodyToJoint.)
+    T_pj: Transform = None
+    T_cj: Transform = None
+    # Up to 3 axis vectors per joint, meaning depends on type: (nb, 3, 3)
+    axes: jax.Array = None
+
+    # ---- per-body inertial parameters ----
+    mass: jax.Array = None          # (nb,)
+    com: jax.Array = None           # (nb, 3) in body frame
+    moment: jax.Array = None        # (nb, 3, 3) about COM, body frame
+
+    # ---- per-dof parameters ----
+    damping: jax.Array = None       # (nq,)
+    stiffness: jax.Array = None     # (nq,)
+    rest_pos: jax.Array = None      # (nq,)
+    q_lower: jax.Array = None       # (nq,)
+    q_upper: jax.Array = None       # (nq,)
+    tau_lower: jax.Array = None     # (nq,)
+    tau_upper: jax.Array = None     # (nq,)
+
+    # ---- world parameters ----
+    gravity: jax.Array = None       # (3,)
+    dt: jax.Array = None            # ()
+
+    # ---- collision geometry ----
+    shapes: Tuple[ShapeSpec, ...] = ()
+
+    # ---- action space: which dofs the `action` vector drives ----
+    # (reference: World::setActionSpace, World.hpp:842)
+    actuated: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
+    # ------------------------------------------------------------------
+    @property
+    def num_bodies(self) -> int:
+        return len(self.joint_types)
+
+    @property
+    def joint_ndofs(self) -> Tuple[int, ...]:
+        return tuple(JOINT_NDOF[t] for t in self.joint_types)
+
+    @property
+    def dof_offsets(self) -> Tuple[int, ...]:
+        offs, c = [], 0
+        for t in self.joint_types:
+            offs.append(c)
+            c += JOINT_NDOF[t]
+        return tuple(offs)
+
+    @property
+    def nq(self) -> int:
+        return sum(self.joint_ndofs)
+
+    @property
+    def num_actions(self) -> int:
+        return len(self.actuated)
+
+    def joint_slice(self, i: int) -> slice:
+        o = self.dof_offsets[i]
+        return slice(o, o + self.joint_ndofs[i])
+
+    # ------------------------------------------------------------------
+    def action_to_tau(self, action: jax.Array) -> jax.Array:
+        """Scatter an action vector onto the control-force vector
+        (World::setAction semantics)."""
+        tau = jnp.zeros(action.shape[:-1] + (self.nq,), dtype=action.dtype)
+        if not self.actuated:
+            return tau
+        idx = jnp.asarray(self.actuated, dtype=jnp.int32)
+        return tau.at[..., idx].set(action)
+
+    def tau_to_action(self, tau: jax.Array) -> jax.Array:
+        idx = jnp.asarray(self.actuated, dtype=jnp.int32)
+        return tau[..., idx]
+
+    def replace(self, **kwargs) -> "Model":
+        return dataclasses.replace(self, **kwargs)
+
+
+def build_model(
+    joints: Sequence[dict],
+    gravity=(0.0, -9.81, 0.0),
+    dt=0.002,
+    shapes: Sequence[ShapeSpec] = (),
+    actuated: Optional[Sequence[int]] = None,
+    dtype=jnp.float64,
+) -> Model:
+    """Assemble a Model from a list of per-joint dicts.
+
+    Each dict: {type, name, parent (body index, -1=world), body_name,
+    T_pj (Transform|None), T_cj, axes ((k,3) array|None), mass, com, moment,
+    damping, stiffness, rest, q_lower, q_upper, tau_lower, tau_upper}.
+    Missing entries get DART defaults (mass=1, moment=I, no limits).
+    """
+    nb = len(joints)
+    types, parents, jnames, bnames = [], [], [], []
+    TpjR, Tpjp, TcjR, Tcjp = [], [], [], []
+    axes_all = []
+    mass, com, moment = [], [], []
+    damping, stiffness, rest = [], [], []
+    q_lo, q_hi, tau_lo, tau_hi = [], [], [], []
+    inf = float("inf")
+
+    for i, j in enumerate(joints):
+        t = j["type"]
+        nd = JOINT_NDOF[t]
+        types.append(t)
+        parents.append(int(j.get("parent", i - 1)))
+        jnames.append(j.get("name", f"joint_{i}"))
+        bnames.append(j.get("body_name", f"body_{i}"))
+        T_pj = j.get("T_pj") or Transform(np.eye(3), np.zeros(3))
+        T_cj = j.get("T_cj") or Transform(np.eye(3), np.zeros(3))
+        TpjR.append(np.asarray(T_pj.R, dtype=np.float64))
+        Tpjp.append(np.asarray(T_pj.p, dtype=np.float64))
+        TcjR.append(np.asarray(T_cj.R, dtype=np.float64))
+        Tcjp.append(np.asarray(T_cj.p, dtype=np.float64))
+        ax = np.zeros((3, 3))
+        ax[0] = [1.0, 0.0, 0.0]
+        ax[1] = [0.0, 1.0, 0.0]
+        ax[2] = [0.0, 0.0, 1.0]
+        user_axes = j.get("axes")
+        if user_axes is not None:
+            user_axes = np.atleast_2d(np.asarray(user_axes, dtype=np.float64))
+            ax[: user_axes.shape[0]] = user_axes
+        axes_all.append(ax)
+        mass.append(float(j.get("mass", 1.0)))
+        com.append(np.asarray(j.get("com", np.zeros(3)), dtype=np.float64))
+        moment.append(np.asarray(j.get("moment", np.eye(3)), dtype=np.float64))
+        damping.extend(_per_dof(j.get("damping", 0.0), nd))
+        stiffness.extend(_per_dof(j.get("stiffness", 0.0), nd))
+        rest.extend(_per_dof(j.get("rest", 0.0), nd))
+        q_lo.extend(_per_dof(j.get("q_lower", -inf), nd))
+        q_hi.extend(_per_dof(j.get("q_upper", inf), nd))
+        tau_lo.extend(_per_dof(j.get("tau_lower", -inf), nd))
+        tau_hi.extend(_per_dof(j.get("tau_upper", inf), nd))
+
+    nq = len(damping)
+    if actuated is None:
+        actuated = tuple(range(nq))
+
+    arr = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    return Model(
+        joint_types=tuple(types),
+        parents=tuple(parents),
+        joint_names=tuple(jnames),
+        body_names=tuple(bnames),
+        T_pj=Transform(arr(TpjR), arr(Tpjp)),
+        T_cj=Transform(arr(TcjR), arr(Tcjp)),
+        axes=arr(axes_all),
+        mass=arr(mass),
+        com=arr(com),
+        moment=arr(moment),
+        damping=arr(damping),
+        stiffness=arr(stiffness),
+        rest_pos=arr(rest),
+        q_lower=arr(q_lo),
+        q_upper=arr(q_hi),
+        tau_lower=arr(tau_lo),
+        tau_upper=arr(tau_hi),
+        gravity=arr(gravity),
+        dt=arr(dt),
+        shapes=tuple(shapes),
+        actuated=tuple(actuated),
+    )
+
+
+def _per_dof(val: Any, nd: int) -> list:
+    if np.isscalar(val):
+        return [float(val)] * nd
+    out = list(np.asarray(val, dtype=np.float64).ravel())
+    assert len(out) == nd
+    return out
+
+
+def zero_state(model: Model, dtype=None) -> State:
+    dtype = dtype or model.mass.dtype
+    return State(
+        q=jnp.zeros(model.nq, dtype=dtype), v=jnp.zeros(model.nq, dtype=dtype)
+    )

@@ -1,0 +1,212 @@
+"""Articulated dynamics vs finite differences and classical mechanics.
+
+The reference validates every dynamics quantity against FD twins
+(`unittests/GradientTestUtils.hpp`, `test_SimpleFeatherstone.cpp`); here we
+additionally pin simple systems to closed-form answers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nimblephysics_tpu.models import builders
+from nimblephysics_tpu.models.model import build_model
+from nimblephysics_tpu.ops import dynamics as dyn
+from nimblephysics_tpu.ops import lie
+from nimblephysics_tpu.utils.fd import fd_jacobian
+
+RNG = np.random.default_rng(42)
+
+
+def _random_model():
+    """A deliberately gnarly chain: free + revolute + ball + prismatic +
+    universal + translational2d + weld, with offsets and rotated frames."""
+    def rt(scale=1.0):
+        return lie.Transform(
+            np.asarray(lie.expm_so3(jnp.asarray(RNG.standard_normal(3) * 0.3))),
+            RNG.standard_normal(3) * scale,
+        )
+
+    joints = [
+        dict(type="free", name="root", body_name="b0", parent=-1,
+             T_pj=rt(0.2), T_cj=rt(0.1), mass=2.0,
+             com=RNG.standard_normal(3) * 0.1,
+             moment=np.diag([0.3, 0.25, 0.2])),
+        dict(type="revolute", name="r1", body_name="b1", parent=0,
+             T_pj=rt(0.3), T_cj=rt(0.1),
+             axes=[_unit()], mass=1.5, com=RNG.standard_normal(3) * 0.1,
+             moment=np.diag([0.12, 0.1, 0.08]), damping=0.2, stiffness=0.5),
+        dict(type="ball", name="b2j", body_name="b2", parent=1,
+             T_pj=rt(0.3), T_cj=rt(0.1), mass=0.8,
+             com=RNG.standard_normal(3) * 0.05,
+             moment=np.diag([0.05, 0.06, 0.07])),
+        dict(type="prismatic", name="p3", body_name="b3", parent=2,
+             T_pj=rt(0.2), axes=[_unit()], mass=1.1,
+             moment=np.diag([0.1, 0.1, 0.1]), damping=0.1),
+        dict(type="universal", name="u4", body_name="b4", parent=1,
+             T_pj=rt(0.25), T_cj=rt(0.05), axes=[_unit(), _unit()],
+             mass=0.6, moment=np.diag([0.04, 0.05, 0.03])),
+        dict(type="translational2d", name="t5", body_name="b5", parent=4,
+             axes=[_unit(), _unit()], mass=0.9, moment=np.eye(3) * 0.02),
+        dict(type="weld", name="w6", body_name="b6", parent=5,
+             T_pj=rt(0.15), mass=0.4, com=[0.1, 0.0, 0.0],
+             moment=np.eye(3) * 0.01),
+    ]
+    return build_model(joints, dt=0.005)
+
+
+def _unit():
+    v = RNG.standard_normal(3)
+    return v / np.linalg.norm(v)
+
+
+MODEL = _random_model()
+NQ = MODEL.nq
+Q0 = RNG.standard_normal(NQ) * 0.4
+V0 = RNG.standard_normal(NQ) * 0.7
+TAU0 = RNG.standard_normal(NQ)
+
+
+def test_mass_matrix_symmetric_posdef():
+    M = np.asarray(dyn.mass_matrix(MODEL, jnp.asarray(Q0)))
+    np.testing.assert_allclose(M, M.T, atol=1e-10)
+    eig = np.linalg.eigvalsh(M)
+    assert eig.min() > 0
+
+
+def test_aba_matches_crba_rnea():
+    """ABA q̈ must equal M⁻¹(tau_eff − C(q,v)): two independent algorithms."""
+    q, v, tau = jnp.asarray(Q0), jnp.asarray(V0), jnp.asarray(TAU0)
+    qdd_aba = np.asarray(dyn.aba(MODEL, q, v, tau))
+    M = np.asarray(dyn.mass_matrix(MODEL, q))
+    C = np.asarray(dyn.coriolis_and_gravity(MODEL, q, v))
+    tau_eff = np.asarray(dyn.joint_forces(MODEL, q, v, tau))
+    qdd_ref = np.linalg.solve(M, tau_eff - C)
+    np.testing.assert_allclose(qdd_aba, qdd_ref, atol=1e-8)
+
+
+def test_rnea_aba_roundtrip():
+    """rnea(q, v, aba(q, v, tau)) == tau_eff (inverse of forward)."""
+    q, v, tau = jnp.asarray(Q0), jnp.asarray(V0), jnp.asarray(TAU0)
+    qdd = dyn.aba(MODEL, q, v, tau)
+    tau_rt = np.asarray(dyn.rnea(MODEL, q, v, qdd))
+    tau_eff = np.asarray(dyn.joint_forces(MODEL, q, v, tau))
+    np.testing.assert_allclose(tau_rt, tau_eff, atol=1e-8)
+
+
+def test_velocity_kinematics_fd():
+    """Body spatial velocity == d/dt of FK along (q, q̇): checks S and Ad chain."""
+    q, v = jnp.asarray(Q0), jnp.asarray(V0)
+    kin = dyn.forward_kinematics(MODEL, q)
+    vel = dyn.velocity_kinematics(MODEL, kin, q, v)
+    for b in [0, 2, 3, 6]:
+        def pose(qq, b=b):
+            k = dyn.forward_kinematics(MODEL, jnp.asarray(qq))
+            return np.concatenate(
+                [np.asarray(k.T_wb[b].R).ravel(), np.asarray(k.T_wb[b].p)]
+            )
+
+        Jq = fd_jacobian(pose, np.asarray(Q0), eps=1e-7)
+        dpose = Jq @ np.asarray(V0)
+        dR = dpose[:9].reshape(3, 3)
+        dp = dpose[9:]
+        R = np.asarray(kin.T_wb[b].R)
+        w_body = np.asarray(lie.vee(jnp.asarray(R.T @ dR)))
+        v_body = R.T @ dp
+        V_expect = np.concatenate([w_body, v_body])
+        np.testing.assert_allclose(
+            np.asarray(vel.V[b]), V_expect, atol=1e-6,
+            err_msg=f"body {b} spatial velocity",
+        )
+
+
+def test_gravity_only_pendulum_analytic():
+    """Single pendulum: q̈ = −(g/L)·sin(q) for point mass at distance L."""
+    m = builders.pendulum(1)
+    q = jnp.asarray([0.3])
+    qdd = np.asarray(dyn.aba(m, q, jnp.zeros(1), jnp.zeros(1)))
+    # point mass at L=1 below joint, gravity -9.81 y: q̈ = -(g/L) sin(q)
+    np.testing.assert_allclose(qdd[0], -9.81 * np.sin(0.3), rtol=1e-6)
+
+
+def test_energy_conservation_double_pendulum():
+    """Undamped double pendulum with small RK4 steps conserves energy."""
+    m = builders.pendulum(2, dt=1e-4)
+    q = jnp.asarray([0.7, -0.3])
+    v = jnp.asarray([0.0, 0.0])
+
+    def energy(q, v):
+        M = dyn.mass_matrix(m, q)
+        kin = dyn.forward_kinematics(m, q)
+        pe = 0.0
+        for i in range(m.num_bodies):
+            com_w = kin.T_wb[i].apply(m.com[i])
+            pe = pe + m.mass[i] * 9.81 * com_w[1]
+        return 0.5 * v @ M @ v + pe
+
+    def deriv(state):
+        q, v = state[:2], state[2:]
+        return jnp.concatenate([v, dyn.aba(m, q, v, jnp.zeros(2))])
+
+    @jax.jit
+    def rk4_steps(x):
+        def body(x, _):
+            h = 1e-4
+            k1 = deriv(x)
+            k2 = deriv(x + 0.5 * h * k1)
+            k3 = deriv(x + 0.5 * h * k2)
+            k4 = deriv(x + h * k3)
+            return x + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
+        return jax.lax.scan(body, x, None, length=200)[0]
+
+    x0 = jnp.concatenate([q, v])
+    e0 = float(energy(q, v))
+    xT = rk4_steps(x0)
+    eT = float(energy(xT[:2], xT[2:]))
+    assert abs(eT - e0) < 1e-6 * max(1.0, abs(e0))
+
+
+def test_aba_jit_and_grad():
+    """jit compiles; AD through ABA is finite and matches FD on a loss."""
+    q, v, tau = jnp.asarray(Q0), jnp.asarray(V0), jnp.asarray(TAU0)
+    f = jax.jit(lambda q, v, tau: jnp.sum(dyn.aba(MODEL, q, v, tau) ** 2))
+    g = jax.grad(f, argnums=(0, 1, 2))(q, v, tau)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in g)
+    g_fd = fd_jacobian(
+        lambda qq: np.asarray([float(f(jnp.asarray(qq), v, tau))]),
+        np.asarray(Q0), eps=1e-6,
+    )[0]
+    np.testing.assert_allclose(np.asarray(g[0]), g_fd, rtol=2e-4, atol=1e-5)
+
+
+def test_mass_matrix_grad_wrt_mass():
+    """System-ID axis: d(M)/d(mass) via AD vs FD (the reference's
+    WithRespectTo::GROUP_MASSES analog is free here)."""
+    q = jnp.asarray(Q0)
+
+    def f(masses):
+        m2 = MODEL.replace(mass=jnp.asarray(masses))
+        return np.asarray(dyn.mass_matrix(m2, q)).ravel()
+
+    J_fd = fd_jacobian(f, np.asarray(MODEL.mass), eps=1e-6)
+    J_ad = jax.jacfwd(
+        lambda masses: dyn.mass_matrix(MODEL.replace(mass=masses), q).ravel()
+    )(MODEL.mass)
+    np.testing.assert_allclose(np.asarray(J_ad), J_fd, atol=1e-6)
+
+
+def test_point_jacobian_fd():
+    q = jnp.asarray(Q0)
+    kin = dyn.forward_kinematics(MODEL, q)
+    b = 3
+    p_local = jnp.asarray([0.05, -0.02, 0.1])
+    p_w = kin.T_wb[b].apply(p_local)
+    Jp = np.asarray(dyn.point_jacobian(MODEL, kin, b, p_w))
+
+    def point(qq):
+        k = dyn.forward_kinematics(MODEL, jnp.asarray(qq))
+        return np.asarray(k.T_wb[b].apply(p_local))
+
+    J_fd = fd_jacobian(point, np.asarray(Q0), eps=1e-7)
+    np.testing.assert_allclose(Jp, J_fd, atol=1e-6)
