@@ -1,0 +1,198 @@
+"""iLQR/DDP: the jittable receding-horizon solver used by the MPC layer.
+
+The reference's MPC re-solves an IPOPT MultiShot every replan
+(`MPCLocal.cpp:180-300`). On TPU the equivalent "fast replan" is iLQR:
+fixed iteration count, no data-dependent control flow, whole solve compiled
+to one XLA program — so thousands of scenario solves run batched under
+`vmap`/`shard_map` (BASELINE target: ≥1000 solves/s at H=100).
+
+Standard Levenberg-regularized iLQR:
+  * linearize dynamics along the trajectory with one vmapped
+    `jax.jacobian` sweep (analytic step Jacobians via AD — the TPU
+    equivalent of the reference's hand-built `BackpropSnapshot` Jacobians)
+  * backward Riccati recursion with a lax.scan
+  * parallel line search over a fixed alpha ladder, pick best
+  * control limits via clamping in the forward rollout (naive boxQP)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nimblephysics_tpu.models.model import Model, State
+from nimblephysics_tpu.simulation.step import step
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    iters: int = 20
+    reg_init: float = 1e-3
+    reg_min: float = 1e-8
+    reg_max: float = 1e8
+    reg_up: float = 8.0
+    reg_down: float = 0.5
+    alphas: tuple = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)
+
+
+class ILQRSolution(NamedTuple):
+    u: jax.Array           # (T, na)
+    x: jax.Array           # (T+1, 2nq) optimal state trajectory
+    cost: jax.Array
+    cost_history: jax.Array
+    K: jax.Array           # (T, na, 2nq) feedback gains (for MPC serving)
+    k: jax.Array           # (T, na) feedforward terms
+
+
+def _make_dyn(model: Model):
+    def dyn(x, u):
+        s = State.from_flat(x)
+        s2 = step(model, s, u)
+        return s2.flat()
+
+    return dyn
+
+
+def ilqr_solve(
+    model: Model,
+    x0: State,
+    u_init: jax.Array,
+    running_cost: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    final_cost: Callable[[jax.Array], jax.Array],
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRSolution:
+    """Minimize sum_t running_cost(x_t, u_t, t) + final_cost(x_T).
+
+    x is the flat (q, v) state; u is the action vector (actuated dofs).
+    Fully jittable; fixed iteration/linesearch structure.
+    """
+    dyn = _make_dyn(model)
+    T, na = u_init.shape
+    nx = 2 * model.nq
+    dtype = u_init.dtype
+    xflat0 = x0.flat()
+
+    idx = jnp.asarray(model.actuated, dtype=jnp.int32) if na else None
+    u_lo = model.tau_lower[idx] if na else None
+    u_hi = model.tau_upper[idx] if na else None
+
+    ts = jnp.arange(T)
+
+    def clamp(u):
+        return jnp.clip(u, u_lo, u_hi)
+
+    def rollout_controls(u):
+        def body(x, ut):
+            x2 = dyn(x, ut)
+            return x2, x2
+
+        xT, xs = jax.lax.scan(body, xflat0, u)
+        return jnp.concatenate([xflat0[None], xs], axis=0)
+
+    def traj_cost(xs, u):
+        run = jnp.sum(jax.vmap(running_cost)(xs[:-1], u, ts))
+        return run + final_cost(xs[-1])
+
+    def rollout_with_gains(xs_ref, u_ref, K, k, alpha):
+        """Closed-loop forward pass: u = u_ref + alpha k + K (x − x_ref)."""
+
+        def body(x, inp):
+            x_ref, u_ref_t, K_t, k_t = inp
+            u_t = clamp(u_ref_t + alpha * k_t + K_t @ (x - x_ref))
+            x2 = dyn(x, u_t)
+            return x2, (x2, u_t)
+
+        _, (xs, us) = jax.lax.scan(body, xflat0, (xs_ref[:-1], u_ref, K, k))
+        xs = jnp.concatenate([xflat0[None], xs], axis=0)
+        return xs, us
+
+    # Derivative oracles (vmapped over time).
+    dyn_jac = jax.vmap(jax.jacobian(dyn, argnums=(0, 1)))
+    cost_grad = jax.vmap(jax.grad(running_cost, argnums=(0, 1)))
+
+    def cost_hess(xs, u):
+        def h(x, u_t, t):
+            hxx = jax.hessian(running_cost, argnums=0)(x, u_t, t)
+            huu = jax.hessian(running_cost, argnums=1)(x, u_t, t)
+            hux = jax.jacobian(jax.grad(running_cost, argnums=1), argnums=0)(x, u_t, t)
+            return hxx, huu, hux
+
+        return jax.vmap(h)(xs, u, ts)
+
+    def backward(xs, u, reg):
+        fx, fu = dyn_jac(xs[:-1], u)                       # (T,nx,nx), (T,nx,na)
+        lx, lu = cost_grad(xs[:-1], u, ts)
+        lxx, luu, lux = cost_hess(xs[:-1], u)
+        Vx_T = jax.grad(final_cost)(xs[-1])
+        Vxx_T = jax.hessian(final_cost)(xs[-1])
+
+        def bstep(carry, inp):
+            Vx, Vxx, dV = carry
+            fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+            Qx = lx_t + fx_t.T @ Vx
+            Qu = lu_t + fu_t.T @ Vx
+            Qxx = lxx_t + fx_t.T @ Vxx @ fx_t
+            Quu = luu_t + fu_t.T @ Vxx @ fu_t
+            Qux = lux_t + fu_t.T @ Vxx @ fx_t
+            # Tassa-style state regularization (Control-Limited DDP, 2014):
+            # add reg to Vxx inside the fu products — far more robust for
+            # unstable dynamics than plain Quu + reg I.
+            Vxx_reg = Vxx + reg * jnp.eye(Vxx.shape[0], dtype=dtype)
+            Quu_reg = luu_t + fu_t.T @ Vxx_reg @ fu_t
+            Qux_reg = lux_t + fu_t.T @ Vxx_reg @ fx_t
+            # Cholesky doubles as the PD check (NaN on indefinite).
+            chol = jnp.linalg.cholesky(Quu_reg)
+            ok = jnp.all(jnp.isfinite(chol))
+            k_t = -jnp.linalg.solve(Quu_reg, Qu)
+            K_t = -jnp.linalg.solve(Quu_reg, Qux_reg)
+            Vx2 = Qx + K_t.T @ Quu @ k_t + K_t.T @ Qu + Qux.T @ k_t
+            Vxx2 = Qxx + K_t.T @ Quu @ K_t + K_t.T @ Qux + Qux.T @ K_t
+            Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
+            dV2 = dV + jnp.array([k_t @ Qu, 0.5 * k_t @ Quu @ k_t])
+            return (Vx2, Vxx2, dV2), (K_t, k_t, ok)
+
+        (_, _, dV), (K, k, oks) = jax.lax.scan(
+            bstep, (Vx_T, Vxx_T, jnp.zeros(2, dtype=dtype)),
+            (fx, fu, lx, lu, lxx, luu, lux),
+            reverse=True,
+        )
+        return K, k, dV, jnp.all(oks)
+
+    def iteration(carry, _):
+        xs, u, cost, reg = carry
+        K, k, dV, pd_ok = backward(xs, u, reg)
+
+        alphas = jnp.asarray(config.alphas, dtype=dtype)
+
+        def try_alpha(alpha):
+            xs2, u2 = rollout_with_gains(xs, u, K, k, alpha)
+            return traj_cost(xs2, u2), xs2, u2
+
+        costs, xss, uss = jax.vmap(try_alpha)(alphas)
+        best = jnp.argmin(costs)
+        new_cost = costs[best]
+        improved = (new_cost < cost) & pd_ok
+        xs_n = jnp.where(improved, xss[best], xs)
+        u_n = jnp.where(improved, uss[best], u)
+        cost_n = jnp.where(improved, new_cost, cost)
+        reg_n = jnp.where(
+            improved,
+            jnp.maximum(reg * config.reg_down, config.reg_min),
+            jnp.minimum(reg * config.reg_up, config.reg_max),
+        )
+        return (xs_n, u_n, cost_n, reg_n), (cost_n, K, k)
+
+    u0 = clamp(u_init)
+    xs0 = rollout_controls(u0)
+    cost0 = traj_cost(xs0, u0)
+    (xs, u, cost, _), (hist, Ks, ks) = jax.lax.scan(
+        iteration,
+        (xs0, u0, cost0, jnp.asarray(config.reg_init, dtype=dtype)),
+        None,
+        length=config.iters,
+    )
+    return ILQRSolution(u=u, x=xs, cost=cost, cost_history=hist,
+                        K=Ks[-1], k=ks[-1])
