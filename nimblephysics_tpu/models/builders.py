@@ -182,7 +182,8 @@ def jump_worm(dt: float = 0.001) -> Model:
     shapes = (
         ShapeSpec(kind="box", body_index=0, offset=_tf(),
                   params=jnp.asarray([0.1, 0.1, 0.1, 0.0])),
+        # floor box center (0,-0.7,0), height 0.25 -> top surface y = -0.575
         ShapeSpec(kind="halfspace", body_index=-1, offset=_tf(),
-                  params=jnp.asarray([0.0, 1.0, 0.0, -0.56])),
+                  params=jnp.asarray([0.0, 1.0, 0.0, -0.575])),
     )
     return build_model(joints, dt=dt, shapes=shapes, actuated=(2, 3))

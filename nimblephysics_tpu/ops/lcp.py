@@ -1,0 +1,177 @@
+"""Batched boxed LCP solver with analytic active-set gradients.
+
+Solves the contact/limit impulse problem in the reference's boxed-LCP form
+(`BoxedLcpConstraintSolver.cpp:352-365`): find x with
+
+    w = A x - b,   lo_i(x) <= x_i <= hi_i(x),
+    x_i = lo_i  =>  w_i >= 0
+    x_i = hi_i  =>  w_i <= 0
+    lo_i < x_i < hi_i  =>  w_i = 0
+
+where friction rows have bounds proportional to their governing normal
+impulse: lo/hi_i = ∓ fscale_i * x[findex_i] (ODE's findex convention).
+`findex` is part of the STATIC contact-slot topology, so it is a Python
+tuple (-1 for uncoupled rows) and all coupling indexing happens at trace
+time.
+
+Forward: projected Gauss-Seidel with fixed sweep count (maps the reference's
+`PgsBoxedLcpSolver`; the Dantzig pivoting path is replaced by PGS + warm
+starting, which the reference itself falls back to and which is the
+fixed-shape, branch-free formulation a TPU wants).
+
+Backward: `custom_vjp` implementing implicit differentiation through the
+converged active set — the core of the reference's gradient engine
+(`BackpropSnapshot::getJacobianOfConstraintForce`, BackpropSnapshot.cpp:
+2723-2774, and `ConstrainedGroupGradientMatrices::constructMatrices`'
+CLAMPING / UPPER_BOUND / NOT_CLAMPING classification, CGGM.cpp:518-608):
+
+    classes fixed  =>  x = R x_C,  Q x_C = b_C,  Q = A[C,:] R
+    dL/db = P_C λ,  dL/dA = -λ xᵀ,   with Qᵀ λ = Rᵀ (dL/dx)
+
+AD through the PGS iterations would give noisy/wrong gradients (the
+reference's `dart/neural` exists precisely because of this); the implicit
+rule gives the exact subgradient of the LCP solution map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e20
+# Reference: ConstrainedGroupGradientMatrices.cpp:24
+CLAMPING_THRESHOLD = 1e-6
+
+
+def _bounds(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
+    """Current bounds given friction coupling (findex static)."""
+    m = len(findex)
+    coupled = jnp.asarray([f >= 0 for f in findex])
+    gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
+    xn = x[gather]
+    f_hi = fscale * jnp.maximum(xn, 0.0)
+    lo = jnp.where(coupled, -f_hi, lo_const)
+    hi = jnp.where(coupled, f_hi, hi_const)
+    return lo, hi
+
+
+def pgs_solve(
+    A: jax.Array,
+    b: jax.Array,
+    lo_const: jax.Array,
+    hi_const: jax.Array,
+    fscale: jax.Array,
+    x0: jax.Array,
+    findex: Tuple[int, ...],
+    iters: int = 60,
+) -> jax.Array:
+    """Projected Gauss-Seidel, fixed iteration count, warm-startable.
+
+    The row loop is unrolled at trace time (m is static and small); the
+    sweep loop is a lax.fori_loop. Under vmap every row update becomes a
+    batched scalar op across worlds.
+    """
+    m = b.shape[0]
+    diag = jnp.diagonal(A)
+    inv_diag = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
+
+    def sweep(_, x):
+        for i in range(m):
+            resid = A[i] @ x - b[i]
+            xi = x[i] - resid * inv_diag[i]
+            if findex[i] >= 0:
+                f_hi = fscale[i] * jnp.maximum(x[findex[i]], 0.0)
+                lo_i, hi_i = -f_hi, f_hi
+            else:
+                lo_i, hi_i = lo_const[i], hi_const[i]
+            xi = jnp.clip(xi, lo_i, hi_i)
+            x = x.at[i].set(xi)
+        return x
+
+    return jax.lax.fori_loop(0, iters, sweep, x0)
+
+
+def _classify(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
+    """Per-row class masks from the converged solution.
+
+    clamping  — constraint holds with equality (interior of the box)
+    upper     — friction riding the cone surface, x = s * x_n
+    (everything else — separating / inactive — has dx = 0)
+    """
+    m = x.shape[0]
+    coupled = jnp.asarray([f >= 0 for f in findex])
+    gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
+    xn = x[gather]
+    normal_clamp = (~coupled) & (x > CLAMPING_THRESHOLD) & (hi_const > _BIG / 2)
+    f_bound = fscale * jnp.maximum(xn, 0.0)
+    fric_active = coupled & (xn > CLAMPING_THRESHOLD)
+    at_bound = jnp.abs(jnp.abs(x) - f_bound) <= CLAMPING_THRESHOLD * jnp.maximum(
+        1.0, f_bound
+    )
+    fric_clamp = fric_active & ~at_bound
+    fric_upper = fric_active & at_bound
+    # Bounded non-friction rows (e.g. joint limits with finite hi): clamping
+    # when strictly inside (lo, hi).
+    bounded = (~coupled) & (hi_const < _BIG / 2)
+    inside = (x > lo_const + CLAMPING_THRESHOLD) & (x < hi_const - CLAMPING_THRESHOLD)
+    bounded_clamp = bounded & inside
+    clamping = normal_clamp | fric_clamp | bounded_clamp
+    upper_sign = jnp.sign(x) * fscale
+    return clamping, fric_upper, upper_sign
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def boxed_lcp(A, b, lo_const, hi_const, fscale, x0, findex: Tuple[int, ...], iters=60):
+    return pgs_solve(A, b, lo_const, hi_const, fscale, x0, findex, iters)
+
+
+def _fwd(A, b, lo_const, hi_const, fscale, x0, findex, iters):
+    x = pgs_solve(A, b, lo_const, hi_const, fscale, x0, findex, iters)
+    return x, (A, b, lo_const, hi_const, fscale, x)
+
+
+def _bwd(findex, iters, res, g):
+    A, b, lo_const, hi_const, fscale, x = res
+    m = b.shape[0]
+    dtype = b.dtype
+    clamping, upper, s = _classify(x, lo_const, hi_const, fscale, findex)
+
+    # R: x = R x_C with classes fixed. Columns: for j clamping,
+    # R[j,j] = 1 and R[i,j] = s_i for upper-bound rows i governed by j.
+    eye = jnp.eye(m, dtype=dtype)
+    gov = jnp.zeros((m, m), dtype=dtype)
+    for i, f in enumerate(findex):
+        if f >= 0:
+            gov = gov.at[i, f].set(1.0)
+    S = (upper.astype(dtype) * s)[:, None] * gov                    # (m, m)
+    cmask = clamping.astype(dtype)
+    R = (eye + S) * cmask[None, :]
+
+    # Q = A[C,:] R, padded to identity off the clamping set.
+    AR = A @ R
+    Qf = cmask[:, None] * AR * cmask[None, :] + jnp.diag(1.0 - cmask)
+
+    rhs = cmask * (R.T @ g)
+    # Solve Qfᵀ λ = rhs robustly (reference uses a complete orthogonal
+    # decomposition = pseudoinverse for degenerate Q, BackpropSnapshot.cpp:2755)
+    # via regularized normal equations: λ = Qf (QfᵀQf + εI)⁻¹ rhs.
+    QtQ = Qf.T @ Qf + 1e-12 * jnp.eye(m, dtype=dtype)
+    lam = Qf @ jnp.linalg.solve(QtQ, rhs)
+    lam = cmask * lam
+
+    b_bar = lam
+    A_bar = -jnp.outer(lam, x)
+    return (
+        A_bar,
+        b_bar,
+        jnp.zeros_like(lo_const),
+        jnp.zeros_like(hi_const),
+        jnp.zeros_like(fscale),
+        jnp.zeros_like(x),
+    )
+
+
+boxed_lcp.defvjp(_fwd, _bwd)

@@ -1,0 +1,181 @@
+"""Contact & LCP: physical behavior + the crown-jewel gradient checks.
+
+Mirrors the reference's contact test strategy (`test_Gradients.cpp`,
+`test_CollideGradient.cpp`, GradientTestUtils.hpp): physical scenarios plus
+finite-difference verification of gradients THROUGH frictional contact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nimblephysics_tpu.models import builders
+from nimblephysics_tpu.models.model import Model, ShapeSpec, State, build_model
+from nimblephysics_tpu.ops.contact import contact_step
+from nimblephysics_tpu.ops import lcp as lcp_mod
+from nimblephysics_tpu.ops.lie import Transform
+from nimblephysics_tpu.simulation.step import rollout, step
+from nimblephysics_tpu.utils.fd import fd_jacobian
+
+
+def _ball_world(restitution=0.0, friction=1.0, dt=0.001) -> Model:
+    """A free sphere over a ground halfspace at y=0."""
+    joints = [
+        dict(type="free", name="ball_j", body_name="ball", parent=-1,
+             mass=1.0, moment=np.eye(3) * 0.01)
+    ]
+    shapes = (
+        ShapeSpec(kind="sphere", body_index=0,
+                  offset=Transform(np.eye(3), np.zeros(3)),
+                  params=jnp.asarray([0.1, 0.0, 0.0, 0.0]),
+                  friction=jnp.asarray(friction),
+                  restitution=jnp.asarray(restitution)),
+        ShapeSpec(kind="halfspace", body_index=-1,
+                  offset=Transform(np.eye(3), np.zeros(3)),
+                  params=jnp.asarray([0.0, 1.0, 0.0, 0.0]),
+                  friction=jnp.asarray(friction),
+                  restitution=jnp.asarray(restitution)),
+    )
+    return build_model(joints, dt=dt, shapes=shapes)
+
+
+def _drop(model, q0, v0, steps):
+    s = State(q=jnp.asarray(q0, dtype=jnp.float64),
+              v=jnp.asarray(v0, dtype=jnp.float64))
+    acts = jnp.zeros((steps, model.num_actions))
+    final, traj = jax.jit(lambda s, a: rollout(model, s, a))(s, acts)
+    return final, traj
+
+
+def test_ball_rests_on_floor():
+    model = _ball_world()
+    final, traj = _drop(model, [0, 0, 0, 0, 0.1001, 0], np.zeros(6), 500)
+    # Sphere radius 0.1: resting height = 0.1 (up to LCP tolerance).
+    assert abs(float(final.q[4]) - 0.1) < 5e-3, float(final.q[4])
+    assert abs(float(final.v[4])) < 1e-4
+
+
+def test_ball_bounces_with_restitution():
+    model = _ball_world(restitution=0.8)
+    # drop from 0.3: hits floor at v = −sqrt(2g·0.2) ≈ −1.98, should bounce up
+    final, traj = _drop(model, [0, 0, 0, 0, 0.3, 0], np.zeros(6), 400)
+    ys = np.asarray(traj.q[:, 4])
+    vy = np.asarray(traj.v[:, 4])
+    i_impact = int(np.argmin(ys[:300]))
+    assert vy[max(i_impact - 2, 0)] < -1.5        # falling before impact
+    post = vy[i_impact + 2: i_impact + 10]
+    assert post.max() > 1.0, post                 # bounced up ~0.8 * impact
+    assert ys.max() > 0.25                        # rebound height significant
+
+
+def test_ball_slides_and_friction_stops_it():
+    model = _ball_world(friction=0.5)
+    # ball on the floor with tangential velocity: friction must decelerate it
+    final, traj = _drop(model, [0, 0, 0, 0, 0.1, 0], [0, 0, 0, 2.0, 0, 0], 800)
+    vx = np.asarray(traj.v[:, 3])
+    assert vx[0] > 1.9
+    assert abs(vx[-1]) < abs(vx[0])               # decelerating
+    # frictionless control: same drop with mu=0 keeps sliding
+    m0 = _ball_world(friction=0.0)
+    _, traj0 = _drop(m0, [0, 0, 0, 0, 0.1, 0], [0, 0, 0, 2.0, 0, 0], 800)
+    vx0 = np.asarray(traj0.v[:, 3])
+    assert vx0[-1] > 1.9 * 0.99                   # no tangential loss
+
+
+def test_jump_worm_lands_on_floor():
+    model = builders.jump_worm(dt=0.002)
+    s0 = State(q=jnp.zeros(model.nq).at[2].set(1.2).at[3].set(1.2),
+               v=jnp.zeros(model.nq))
+    acts = jnp.zeros((700, model.num_actions))
+    final, traj = jax.jit(lambda: rollout(model, s0, acts))()
+    ys = np.asarray(traj.q[:, 1])
+    # root box (half-extent 0.05) falls from 0 to the floor at y=-0.575 and
+    # stops resting (y ≈ -0.525), instead of falling through
+    assert ys[-1] > -0.575, ys[-1]
+    assert abs(float(final.v[1])) < 0.05
+
+
+def test_lcp_gradient_matches_fd_resting():
+    """d(v_next)/d(v) through an ACTIVE contact vs finite differences —
+    the core claim of the whole gradient engine."""
+    model = _ball_world(friction=0.7, dt=0.01)
+    q0 = np.array([0.1, -0.2, 0.05, 0.0, 0.0999, 0.0])
+    v0 = np.array([0.1, 0.0, 0.0, 0.5, -0.1, 0.0])
+
+    def f(v):
+        s = contact_step(model, State(jnp.asarray(q0), jnp.asarray(v)),
+                         jnp.zeros(6))
+        return s.v
+
+    J_ad = np.asarray(jax.jacrev(lambda v: f(v))(jnp.asarray(v0)))
+    J_fd = fd_jacobian(lambda v: np.asarray(f(jnp.asarray(v))), v0, eps=1e-7)
+    np.testing.assert_allclose(J_ad, J_fd, atol=2e-5,
+                               err_msg="velVel Jacobian through contact")
+
+
+def test_lcp_gradient_matches_fd_wrt_position():
+    model = _ball_world(friction=0.7, dt=0.01)
+    q0 = np.array([0.0, 0.0, 0.0, 0.0, 0.0995, 0.0])
+    v0 = np.array([0.0, 0.0, 0.0, 0.3, -0.05, 0.0])
+
+    def f(q):
+        s = contact_step(model, State(jnp.asarray(q), jnp.asarray(v0)),
+                         jnp.zeros(6))
+        return s.v
+
+    J_ad = np.asarray(jax.jacrev(f)(jnp.asarray(q0)))
+    J_fd = fd_jacobian(lambda q: np.asarray(f(jnp.asarray(q))), q0, eps=1e-7)
+    np.testing.assert_allclose(J_ad, J_fd, atol=5e-4,
+                               err_msg="posVel Jacobian through contact")
+
+
+def test_lcp_gradient_wrt_control_through_rollout():
+    """Gradient of a loss through a multi-step contact rollout vs directional
+    finite differences (what trajectory optimization actually consumes)."""
+    model = builders.jump_worm(dt=0.002)
+    s0 = State(q=jnp.zeros(model.nq).at[2].set(1.0).at[3].set(1.0),
+               v=jnp.zeros(model.nq))
+    T = 30
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.standard_normal((T, model.num_actions)) * 5.0)
+
+    @jax.jit
+    def loss(u):
+        final, traj = rollout(model, s0, u)
+        return jnp.sum(final.q**2) + 0.1 * jnp.sum(traj.v**2)
+
+    g_ad = np.asarray(jax.jit(jax.grad(loss))(u0))
+    eps = 1e-6
+    for seed in range(4):
+        d = rng.standard_normal(u0.shape)
+        d /= np.linalg.norm(d)
+        fd = (float(loss(u0 + eps * d)) - float(loss(u0 - eps * d))) / (2 * eps)
+        ad = float(np.sum(g_ad * d))
+        np.testing.assert_allclose(ad, fd, rtol=2e-4, atol=1e-6)
+
+
+def test_joint_limit_constraint():
+    """Catapult pole has q limits [0, pi]: driving it down must stop at 0."""
+    model = builders.catapult(dt=0.002)
+    q0 = jnp.zeros(model.nq).at[3].set(0.3)   # tail0 at 0.3 rad
+    s0 = State(q=q0, v=jnp.zeros(model.nq))
+    # push strongly toward the lower limit
+    acts = jnp.tile(jnp.asarray([[-300.0, 0.0, 0.0]]), (400, 1))
+    final, traj = jax.jit(lambda: rollout(model, s0, acts))()
+    qmin = float(jnp.min(traj.q[:, 3]))
+    assert qmin > -0.05, qmin                 # limit holds (small violation ok)
+
+
+def test_pgs_solves_simple_lcp():
+    """PGS vs a hand-solvable LCP."""
+    A = jnp.asarray([[2.0, 1.0], [1.0, 2.0]])
+    b = jnp.asarray([1.0, -1.0])
+    lo = jnp.zeros(2)
+    hi = jnp.full((2,), lcp_mod._BIG)
+    x = lcp_mod.pgs_solve(A, b, lo, hi, jnp.zeros(2), jnp.zeros(2), (-1, -1), 100)
+    x = np.asarray(x)
+    # complementarity: x >= 0, w = Ax - b >= 0, x·w = 0
+    w = np.asarray(A) @ x - np.asarray(b)
+    assert np.all(x >= -1e-10)
+    assert np.all(w >= -1e-8)
+    assert abs(x @ w) < 1e-8
