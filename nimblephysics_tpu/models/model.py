@@ -58,17 +58,11 @@ class ShapeSpec:
     kind: str = dataclasses.field(metadata=dict(static=True))
     body_index: int = dataclasses.field(metadata=dict(static=True))
     offset: Transform = dataclasses.field(
-        default_factory=lambda: Transform.identity(jnp.float64)
+        default_factory=lambda: Transform(jnp.eye(3), jnp.zeros(3))
     )
-    params: jax.Array = dataclasses.field(
-        default_factory=lambda: jnp.zeros(4, dtype=jnp.float64)
-    )
-    friction: jax.Array = dataclasses.field(
-        default_factory=lambda: jnp.asarray(1.0, dtype=jnp.float64)
-    )
-    restitution: jax.Array = dataclasses.field(
-        default_factory=lambda: jnp.asarray(0.0, dtype=jnp.float64)
-    )
+    params: jax.Array = dataclasses.field(default_factory=lambda: jnp.zeros(4))
+    friction: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(1.0))
+    restitution: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(0.0))
 
 
 class State(NamedTuple):
@@ -190,7 +184,7 @@ def build_model(
     dt=0.002,
     shapes: Sequence[ShapeSpec] = (),
     actuated: Optional[Sequence[int]] = None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> Model:
     """Assemble a Model from a list of per-joint dicts.
 
@@ -245,6 +239,9 @@ def build_model(
     if actuated is None:
         actuated = tuple(range(nq))
 
+    if dtype is None:
+        # f64 under x64 (tests/parity), f32 otherwise (TPU production)
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     arr = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
     return Model(
         joint_types=tuple(types),

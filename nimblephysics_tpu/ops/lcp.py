@@ -77,6 +77,9 @@ def pgs_solve(
     m = b.shape[0]
     diag = jnp.diagonal(A)
     inv_diag = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
+    # promote x0's shard_map varying-axes metadata to match b (a replicated
+    # zero warm start would otherwise break the fori carry under shard_map)
+    x0 = x0 + 0.0 * b
 
     def sweep(_, x):
         for i in range(m):

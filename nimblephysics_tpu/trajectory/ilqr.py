@@ -128,6 +128,10 @@ def ilqr_solve(
         lxx, luu, lux = cost_hess(xs[:-1], u)
         Vx_T = jax.grad(final_cost)(xs[-1])
         Vxx_T = jax.hessian(final_cost)(xs[-1])
+        # zeros_like keeps shard_map varying-axes metadata consistent with
+        # the traced values (a plain jnp.zeros would be replicated and break
+        # the scan carry under shard_map)
+        dV0 = jnp.zeros_like(Vx_T[:2])
 
         def bstep(carry, inp):
             Vx, Vxx, dV = carry
@@ -155,7 +159,7 @@ def ilqr_solve(
             return (Vx2, Vxx2, dV2), (K_t, k_t, ok)
 
         (_, _, dV), (K, k, oks) = jax.lax.scan(
-            bstep, (Vx_T, Vxx_T, jnp.zeros(2, dtype=dtype)),
+            bstep, (Vx_T, Vxx_T, dV0),
             (fx, fu, lx, lu, lxx, luu, lux),
             reverse=True,
         )
@@ -188,9 +192,10 @@ def ilqr_solve(
     u0 = clamp(u_init)
     xs0 = rollout_controls(u0)
     cost0 = traj_cost(xs0, u0)
+    reg0 = config.reg_init * jnp.ones_like(cost0)  # inherits shard_map vma
     (xs, u, cost, _), (hist, Ks, ks) = jax.lax.scan(
         iteration,
-        (xs0, u0, cost0, jnp.asarray(config.reg_init, dtype=dtype)),
+        (xs0, u0, cost0, reg0),
         None,
         length=config.iters,
     )

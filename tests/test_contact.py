@@ -133,11 +133,16 @@ def test_lcp_gradient_wrt_control_through_rollout():
     """Gradient of a loss through a multi-step contact rollout vs directional
     finite differences (what trajectory optimization actually consumes)."""
     model = builders.jump_worm(dt=0.002)
-    s0 = State(q=jnp.zeros(model.nq).at[2].set(1.0).at[3].set(1.0),
-               v=jnp.zeros(model.nq))
+    # Start RESTING ON THE FLOOR with the worm mid-wiggle so the contact set
+    # is active and changing during the rollout (an airborne start would never
+    # touch the LCP).
+    s_air = State(q=jnp.zeros(model.nq).at[2].set(1.2).at[3].set(1.2),
+                  v=jnp.zeros(model.nq))
+    s0, _ = rollout(model, s_air, jnp.zeros((400, 2)))
+    s0 = State(q=s0.q, v=s0.v.at[2].set(3.0))   # kick a pole
     T = 30
     rng = np.random.default_rng(0)
-    u0 = jnp.asarray(rng.standard_normal((T, model.num_actions)) * 5.0)
+    u0 = jnp.asarray(rng.standard_normal((T, model.num_actions)) * 40.0)
 
     @jax.jit
     def loss(u):
