@@ -1,0 +1,82 @@
+"""Parse the reference's benchmark .skel scenes and simulate them.
+
+Fixtures are the REAL reference data files (read-only mount), exactly as
+`unittests/comprehensive/test_HalfCheetahRealtime.cpp` etc. load them."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nimblephysics_tpu.models.model import State
+from nimblephysics_tpu.ops import dynamics as dyn
+from nimblephysics_tpu.simulation.step import rollout
+from nimblephysics_tpu.utils.skel_parser import parse_skel
+
+SKEL_DIR = "/root/reference/data/skel"
+
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(SKEL_DIR), reason="reference data not mounted"
+)
+
+
+@needs_data
+def test_parse_inverted_double_pendulum():
+    model, s0 = parse_skel(f"{SKEL_DIR}/inverted_double_pendulum.skel")
+    assert model.nq == 3
+    assert model.joint_types == ("prismatic", "revolute", "revolute", "weld")
+    assert float(model.dt) == 0.01
+    np.testing.assert_allclose(np.asarray(model.gravity), [0, -9.81, 0])
+    # damping on the two revolute poles
+    np.testing.assert_allclose(np.asarray(model.damping), [0.0, 0.1, 0.1])
+    M = dyn.mass_matrix(model, s0.q)
+    assert np.all(np.isfinite(np.asarray(M)))
+    # total mass: 0.75 + 0.025 + 0.025 + 0.3
+    np.testing.assert_allclose(float(jnp.sum(model.mass)), 1.1)
+
+
+@needs_data
+def test_parse_cartpole():
+    model, s0 = parse_skel(f"{SKEL_DIR}/cartpole.skel")
+    # immobile "rail" skeleton becomes static geometry, not dofs
+    assert model.nq == 2
+    np.testing.assert_allclose(np.asarray(model.damping), [1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(model.q_lower), [-1.0, -1.57])
+    # pole mass/inertia from capsule shape (reference quirk: unrotated)
+    assert abs(float(model.mass[1]) - 4.8953899) < 1e-6
+
+
+@needs_data
+def test_parse_half_cheetah_and_simulate():
+    model, s0 = parse_skel(f"{SKEL_DIR}/half_cheetah.skel")
+    # 2 prismatic + 1 revolute root + 6 leg joints + welds for head
+    assert model.nq == 9
+    assert "halfspace" in {s.kind for s in model.shapes}  # ground plane
+    ncap = sum(1 for s in model.shapes if s.kind == "capsule")
+    assert ncap >= 7  # pelvis + head? + 6 leg segments
+
+    # Drop the cheetah: it must land on the ground and come to rest without
+    # falling through (pelvis starts at y=0.7 in the file's frame... init
+    # q are zeros; root y dof is relative).
+    T = 600
+    final, traj = jax.jit(
+        lambda: rollout(model, s0, jnp.zeros((T, model.num_actions)))
+    )()
+    ys = np.asarray(traj.q[:, 1])
+    assert np.all(np.isfinite(ys))
+    assert ys[-1] > -0.8, ys[-1]       # did not fall through the ground
+    assert abs(float(final.v[1])) < 0.5  # roughly settled vertically
+
+
+@needs_data
+def test_half_cheetah_gradients_finite():
+    model, s0 = parse_skel(f"{SKEL_DIR}/half_cheetah.skel")
+
+    def loss(u):
+        final, _ = rollout(model, s0, u)
+        return final.q[0]  # forward progress
+
+    g = jax.jit(jax.grad(loss))(jnp.zeros((50, model.num_actions)))
+    assert np.all(np.isfinite(np.asarray(g)))
