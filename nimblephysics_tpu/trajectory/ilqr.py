@@ -30,6 +30,9 @@ from nimblephysics_tpu.simulation.step import step
 @dataclasses.dataclass(frozen=True)
 class ILQRConfig:
     iters: int = 20
+    # scan unroll factor for the time loops: fusing k timesteps per XLA loop
+    # iteration amortizes loop overhead for the tiny-op dynamics bodies
+    unroll: int = 20
     reg_init: float = 1e-3
     reg_min: float = 1e-8
     reg_max: float = 1e8
@@ -89,7 +92,7 @@ def ilqr_solve(
             x2 = dyn(x, ut)
             return x2, x2
 
-        xT, xs = jax.lax.scan(body, xflat0, u)
+        xT, xs = jax.lax.scan(body, xflat0, u, unroll=config.unroll)
         return jnp.concatenate([xflat0[None], xs], axis=0)
 
     def traj_cost(xs, u):
@@ -105,12 +108,16 @@ def ilqr_solve(
             x2 = dyn(x, u_t)
             return x2, (x2, u_t)
 
-        _, (xs, us) = jax.lax.scan(body, xflat0, (xs_ref[:-1], u_ref, K, k))
+        _, (xs, us) = jax.lax.scan(
+            body, xflat0, (xs_ref[:-1], u_ref, K, k), unroll=config.unroll
+        )
         xs = jnp.concatenate([xflat0[None], xs], axis=0)
         return xs, us
 
-    # Derivative oracles (vmapped over time).
-    dyn_jac = jax.vmap(jax.jacobian(dyn, argnums=(0, 1)))
+    # Derivative oracles (vmapped over time). Forward-mode: nx+na input
+    # tangents beat nx output cotangents through the ABA graph (~40% faster
+    # measured on TPU for the cartpole step).
+    dyn_jac = jax.vmap(jax.jacfwd(dyn, argnums=(0, 1)))
     cost_grad = jax.vmap(jax.grad(running_cost, argnums=(0, 1)))
 
     def cost_hess(xs, u):
@@ -162,6 +169,7 @@ def ilqr_solve(
             bstep, (Vx_T, Vxx_T, dV0),
             (fx, fu, lx, lu, lxx, luu, lux),
             reverse=True,
+            unroll=config.unroll,
         )
         return K, k, dV, jnp.all(oks)
 
