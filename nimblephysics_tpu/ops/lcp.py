@@ -126,18 +126,23 @@ def _classify(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
     return clamping, fric_upper, upper_sign
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7))
 def boxed_lcp(A, b, lo_const, hi_const, fscale, x0, findex: Tuple[int, ...], iters=60):
     return pgs_solve(A, b, lo_const, hi_const, fscale, x0, findex, iters)
 
 
-def _fwd(A, b, lo_const, hi_const, fscale, x0, findex, iters):
+@boxed_lcp.defjvp
+def _boxed_lcp_jvp(findex, iters, primals, tangents):
+    """Implicit active-set derivative, LINEAR in the tangents — so JAX both
+    pushes jvps (jacfwd linearization in iLQR) and transposes it for
+    reverse-mode (loss gradients), one rule for both.
+
+        classes fixed:  x = R x_C,   Q x_C = b_C,   Q = A[C,:] R
+        dx = R Q⁻¹ P_Cᵀ (db − dA x)
+    """
+    A, b, lo_const, hi_const, fscale, x0 = primals
+    dA, db, _dlo, _dhi, _dfs, _dx0 = tangents
     x = pgs_solve(A, b, lo_const, hi_const, fscale, x0, findex, iters)
-    return x, (A, b, lo_const, hi_const, fscale, x)
-
-
-def _bwd(findex, iters, res, g):
-    A, b, lo_const, hi_const, fscale, x = res
     m = b.shape[0]
     dtype = b.dtype
     clamping, upper, s = _classify(x, lo_const, hi_const, fscale, findex)
@@ -157,24 +162,11 @@ def _bwd(findex, iters, res, g):
     AR = A @ R
     Qf = cmask[:, None] * AR * cmask[None, :] + jnp.diag(1.0 - cmask)
 
-    rhs = cmask * (R.T @ g)
-    # Solve Qfᵀ λ = rhs robustly (reference uses a complete orthogonal
-    # decomposition = pseudoinverse for degenerate Q, BackpropSnapshot.cpp:2755)
-    # via regularized normal equations: λ = Qf (QfᵀQf + εI)⁻¹ rhs.
+    rhs = cmask * (db - dA @ x)
+    # Solve Qf dx_C = rhs robustly (reference uses a complete orthogonal
+    # decomposition = pseudoinverse for degenerate Q, BackpropSnapshot.cpp:
+    # 2755) via regularized normal equations.
     QtQ = Qf.T @ Qf + 1e-12 * jnp.eye(m, dtype=dtype)
-    lam = Qf @ jnp.linalg.solve(QtQ, rhs)
-    lam = cmask * lam
-
-    b_bar = lam
-    A_bar = -jnp.outer(lam, x)
-    return (
-        A_bar,
-        b_bar,
-        jnp.zeros_like(lo_const),
-        jnp.zeros_like(hi_const),
-        jnp.zeros_like(fscale),
-        jnp.zeros_like(x),
-    )
-
-
-boxed_lcp.defvjp(_fwd, _bwd)
+    dx_C = jnp.linalg.solve(QtQ, Qf.T @ rhs)
+    dx = R @ (cmask * dx_C)
+    return x, dx
