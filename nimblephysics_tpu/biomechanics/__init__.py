@@ -1,0 +1,25 @@
+"""Biomechanics toolkit — maps `dart/biomechanics/` (52 kLoC).
+
+TPU re-design: every fitting pipeline (marker fitting, dynamics fitting,
+scaling) is a differentiable loss over the model's parameter pytree solved
+with jitted optimizers, instead of bespoke IPOPT TNLP wrappers. Body
+scaling is a pure model transform, markers are data, and all per-frame
+work batches with vmap.
+"""
+
+from nimblephysics_tpu.biomechanics.scaling import scale_bodies  # noqa: F401
+from nimblephysics_tpu.biomechanics.markers import (  # noqa: F401
+    MarkerSet,
+    IKErrorReport,
+    marker_world_positions,
+)
+from nimblephysics_tpu.biomechanics.marker_fitter import (  # noqa: F401
+    MarkerFitResult,
+    fit_markers,
+)
+from nimblephysics_tpu.biomechanics.anthropometrics import Anthropometrics  # noqa: F401
+from nimblephysics_tpu.biomechanics.c3d import load_c3d, C3DFile  # noqa: F401
+from nimblephysics_tpu.biomechanics.subject_on_disk import (  # noqa: F401
+    SubjectOnDisk,
+    write_subject,
+)

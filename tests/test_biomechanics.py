@@ -1,0 +1,173 @@
+"""Biomechanics: scaling gradients, marker fitting recovers ground truth,
+C3D loading of real lab files, subject format roundtrip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nimblephysics_tpu.biomechanics import (
+    IKErrorReport,
+    MarkerSet,
+    SubjectOnDisk,
+    fit_markers,
+    load_c3d,
+    marker_world_positions,
+    scale_bodies,
+    write_subject,
+)
+from nimblephysics_tpu.models import builders
+from nimblephysics_tpu.ops import dynamics as dyn
+
+C3D_DIR = "/root/reference/data/c3d"
+
+
+def _marker_model():
+    model = builders.pendulum(3)
+    markers = MarkerSet(
+        names=("m0", "m1", "m2", "m3"),
+        body_indices=(0, 1, 2, 2),
+        offsets=jnp.asarray(
+            [[0.1, -0.5, 0.0], [0.0, -0.8, 0.1], [0.05, -0.3, 0.0],
+             [-0.1, -0.9, 0.05]]
+        ),
+    )
+    return model, markers
+
+
+def test_scaling_moves_attachments():
+    model, markers = _marker_model()
+    q = jnp.asarray([0.2, -0.3, 0.5])
+    p0 = marker_world_positions(model, markers, q)
+    scales = jnp.ones((3, 3)).at[1, 1].set(1.3)  # stretch link1 in y
+    m2 = scale_bodies(model, scales)
+    p1 = marker_world_positions(m2, markers.scaled(scales), q)
+    # markers below link1 move; marker on body0 does not
+    assert abs(float(p1[0, 1] - p0[0, 1])) < 1e-12
+    assert float(jnp.linalg.norm(p1[2] - p0[2])) > 0.05
+    # scaling is differentiable
+    g = jax.grad(
+        lambda s: jnp.sum(
+            marker_world_positions(scale_bodies(model, s), markers.scaled(s), q)
+        )
+    )(jnp.ones((3, 3)))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_marker_fit_recovers_scales_and_poses():
+    model, markers = _marker_model()
+    rng = np.random.default_rng(0)
+    # ground truth: scaled skeleton + poses
+    true_scales = jnp.ones((3, 3)).at[1, 1].set(1.2).at[2, 1].set(0.85)
+    m_true = scale_bodies(model, true_scales)
+    mk_true = markers.scaled(true_scales)
+    T = 20
+    qs_true = jnp.asarray(rng.uniform(-0.6, 0.6, (T, 3)))
+    observed = jax.vmap(
+        lambda q: marker_world_positions(m_true, mk_true, q)
+    )(qs_true)
+
+    result = jax.jit(
+        lambda: fit_markers(model, markers, observed, iters=1200, lr=2e-2,
+                            regularize_offsets=10.0, regularize_scales=1e-3,
+                            smooth_poses=0.0)
+    )()
+    assert float(result.marker_rmse) < 8e-3, float(result.marker_rmse)
+    # the stretched bone lengths are recovered (y scales of links 1, 2)
+    assert abs(float(result.scales[1, 1]) - 1.2) < 0.08
+    assert abs(float(result.scales[2, 1]) - 0.85) < 0.08
+
+    report = IKErrorReport(
+        scale_bodies(model, result.scales),
+        markers.scaled(result.scales).with_offsets(result.offsets),
+        result.poses, observed,
+    )
+    assert report.root_mean_squared_error < 8e-3
+
+
+@pytest.mark.skipif(not os.path.isdir(C3D_DIR), reason="no reference data")
+def test_load_real_c3d():
+    f = load_c3d(f"{C3D_DIR}/cmu_02_05.c3d")
+    assert f.num_frames > 100
+    assert len(f.point_labels) == f.points.shape[1]
+    # plausible human mocap: marker spread under 5 meters, finite
+    valid = f.residuals >= 0
+    assert valid.any()
+    pts = f.points[valid]
+    assert np.all(np.isfinite(pts))
+    assert 0.1 < np.ptp(pts) < 10.0, np.ptp(pts)
+    assert f.frame_rate > 10
+
+
+def test_subject_on_disk_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    trials = [
+        dict(name="walk", dt=0.01, q=rng.standard_normal((50, 7)),
+             v=rng.standard_normal((50, 7)), tau=rng.standard_normal((50, 7))),
+        dict(name="run", dt=0.005, q=rng.standard_normal((30, 7)),
+             v=rng.standard_normal((30, 7)), tau=rng.standard_normal((30, 7)),
+             contact=rng.standard_normal((30, 12))),
+    ]
+    path = str(tmp_path / "subject.ntpusubj")
+    write_subject(path, trials, subject_meta=dict(height_m=1.8, mass_kg=70))
+    sub = SubjectOnDisk(path)
+    assert sub.num_trials == 2
+    assert sub.trial_name(1) == "run"
+    assert sub.trial_length(0) == 50
+    assert sub.trial_timestep(1) == 0.005
+    frames = sub.read_frames(0, start=10, count=5)
+    np.testing.assert_allclose(
+        frames.q, trials[0]["q"][10:15].astype(np.float32)
+    )
+    frames2 = sub.read_frames(1)
+    assert frames2.contact.shape == (30, 12)
+
+
+def test_dynamics_fitter_recovers_mass():
+    """DynamicsFitter-lite: recover perturbed masses from root residuals of
+    an observed free-floating trajectory (no external forces)."""
+    from nimblephysics_tpu.biomechanics.dynamics_fitter import fit_inertia, root_residuals
+    from nimblephysics_tpu.models.model import State, build_model
+    from nimblephysics_tpu.simulation.step import rollout
+
+    rng = np.random.default_rng(5)
+    joints = [
+        dict(type="translational2d", name="root", body_name="b0", parent=-1,
+             axes=[[1.0, 0, 0], [0, 1.0, 0]], mass=2.0, com=[0.0, -0.2, 0.0],
+             moment=np.eye(3) * 0.05),
+        dict(type="revolute", name="r1", body_name="b1", parent=0,
+             axes=[[0, 0, 1.0]], T_pj=dict or None, mass=1.5,
+             com=[0.0, -0.4, 0.0], moment=np.eye(3) * 0.02),
+    ]
+    joints[1]["T_pj"] = None
+    model = build_model(joints, dt=0.005)
+    # simulate with internal torque on the revolute joint only
+    us = rng.standard_normal((120, 3)) * np.asarray([0.0, 0.0, 3.0])
+    s0 = State(q=jnp.zeros(3), v=jnp.zeros(3))
+    _, traj = rollout(model, s0, jnp.asarray(us))
+    qs, vs = traj.q, traj.v
+    # recover accelerations by applying the dynamics (ground truth qdd)
+    qdds = jax.vmap(
+        lambda q, v, u: dyn.aba(model, q, v, jnp.asarray(u))
+    )(qs, vs, jnp.asarray(us))
+
+    # true model has zero root residual; perturbed model does not
+    r_true = root_residuals(model, qs[5], vs[5], qdds[5], (0, 1))
+    assert float(jnp.abs(r_true).max()) < 1e-9
+    wrong = model.replace(mass=model.mass * jnp.asarray([1.5, 0.6]))
+    r_wrong = root_residuals(wrong, qs[5], vs[5], qdds[5], (0, 1))
+    assert float(jnp.abs(r_wrong).max()) > 0.1
+
+    result = jax.jit(
+        lambda: fit_inertia(wrong, qs, vs, qdds, (0, 1), iters=800, lr=3e-2,
+                            fit_coms=False, regularize=0.0)
+    )()
+    # Without measured external forces the TOTAL mass is unobservable (the
+    # zero-residual condition is scale-invariant — the reference pins it
+    # with force-plate data); the mass RATIO is identifiable and must be
+    # recovered, and residuals must vanish.
+    ratio = float(result.masses[1] / result.masses[0])
+    assert abs(ratio - 0.75) < 0.02, ratio
+    assert float(result.final_residual_rms) < 1e-3
