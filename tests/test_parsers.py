@@ -80,3 +80,35 @@ def test_half_cheetah_gradients_finite():
 
     g = jax.jit(jax.grad(loss))(jnp.zeros((50, model.num_actions)))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@needs_data
+def test_vsk_parser():
+    from nimblephysics_tpu.utils.vsk_parser import parse_vsk
+
+    f = parse_vsk("/root/reference/data/vsk/Nick01.vsk")
+    assert len(f.markers) > 10
+    assert f.parameters.get("HipWidth", 0) > 0
+    # marker offsets resolved from parameters, mm -> m
+    lfwt = [m for m in f.markers if m.name == "LFWT"]
+    assert lfwt, [m.name for m in f.markers[:5]]
+    assert 0.01 < np.linalg.norm(lfwt[0].position) < 1.0
+
+
+def test_mjcf_exporter_well_formed():
+    import xml.etree.ElementTree as ET
+
+    from nimblephysics_tpu.models import builders
+    from nimblephysics_tpu.utils.mjcf_exporter import export_mjcf
+
+    model = builders.jump_worm()
+    xml = export_mjcf(model)
+    root = ET.fromstring(xml)
+    assert root.tag == "mujoco"
+    bodies = root.findall(".//body")
+    assert len(bodies) == model.num_bodies
+    joints = root.findall(".//joint") + root.findall(".//freejoint")
+    assert len(joints) >= 4  # 2 slides + 2 hinges
+    assert len(root.findall(".//geom")) >= 2
+    motors = root.findall(".//motor")
+    assert len(motors) == model.num_actions
