@@ -131,6 +131,13 @@ class Model:
         default=(), metadata=dict(static=True)
     )
 
+    # ---- CustomJoint specs (hashable; see ops/joints.py CustomSpec) ----
+    # aligned with joints; () means no custom joints, else one entry per
+    # joint (None for non-custom types)
+    custom_specs: Tuple[Any, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
     # ------------------------------------------------------------------
     @property
     def num_bodies(self) -> int:
@@ -138,14 +145,23 @@ class Model:
 
     @property
     def joint_ndofs(self) -> Tuple[int, ...]:
-        return tuple(JOINT_NDOF[t] for t in self.joint_types)
+        out = []
+        for i, t in enumerate(self.joint_types):
+            if t == "custom":
+                out.append(self.custom_specs[i][0])
+            else:
+                out.append(JOINT_NDOF[t])
+        return tuple(out)
+
+    def custom_spec(self, i: int):
+        return self.custom_specs[i] if self.custom_specs else None
 
     @property
     def dof_offsets(self) -> Tuple[int, ...]:
         offs, c = [], 0
-        for t in self.joint_types:
+        for nd in self.joint_ndofs:
             offs.append(c)
-            c += JOINT_NDOF[t]
+            c += nd
         return tuple(offs)
 
     @property
@@ -202,9 +218,12 @@ def build_model(
     q_lo, q_hi, tau_lo, tau_hi = [], [], [], []
     inf = float("inf")
 
+    custom_specs = []
     for i, j in enumerate(joints):
         t = j["type"]
-        nd = JOINT_NDOF[t]
+        spec = j.get("custom_spec")
+        custom_specs.append(spec)
+        nd = spec[0] if t == "custom" else JOINT_NDOF[t]
         types.append(t)
         parents.append(int(j.get("parent", i - 1)))
         jnames.append(j.get("name", f"joint_{i}"))
@@ -265,6 +284,9 @@ def build_model(
         dt=arr(dt),
         shapes=tuple(shapes),
         actuated=tuple(actuated),
+        custom_specs=(
+            tuple(custom_specs) if any(s is not None for s in custom_specs) else ()
+        ),
     )
 
 

@@ -61,6 +61,8 @@ def _num_slots(kind_a: str, kind_b: str) -> int:
         ("capsule", "halfspace"): 2,
         ("sphere", "sphere"): 1,
         ("sphere", "box"): 1,
+        ("box", "box"): 16,
+        ("capsule", "box"): 2,
     }
     return table.get(pair, 0)
 
@@ -162,6 +164,10 @@ def _narrow_phase(kind_a, kind_b, pa, pb, Ta: Transform, Tb: Transform):
         return _sphere_sphere(pa, pb, Ta, Tb)
     if (kind_a, kind_b) == ("sphere", "box"):
         return _sphere_box(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("box", "box"):
+        return _box_box(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("capsule", "box"):
+        return _capsule_box(pa, pb, Ta, Tb)
     raise ValueError(f"unsupported pair {kind_a}/{kind_b}")
 
 
@@ -220,6 +226,70 @@ def _sphere_sphere(pa, pb, Ta, Tb):
     depth = ra + rb - dist
     point = Tb.p + n * (rb - 0.5 * depth)
     return [point], [n], [depth]
+
+
+def _vertex_in_box(v_w: jax.Array, half: jax.Array, Tb: Transform):
+    """Depth/normal of a world point vs a box: penetration = min face
+    distance, normal = that face's outward normal (world, pointing OUT of
+    the box). Negative depth when outside (per-axis min carries the sign)."""
+    local = Tb.inverse().apply(v_w)
+    d = half - jnp.abs(local)                 # (3,) positive inside
+    axis = jnp.argmin(d)
+    depth = jnp.min(d)
+    e = jax.nn.one_hot(axis, 3, dtype=v_w.dtype)
+    n_local = e * jnp.sign(local[axis])
+    return depth, Tb.rotate(n_local)
+
+
+def _box_box(pa, pb, Ta, Tb):
+    """Vertex-face contacts both directions (16 slots). The reference's
+    box-box uses ODE-style SAT face clipping (`DARTCollide.hpp:79`); the
+    vertex-in-box formulation gives the same resting/stacking contact sets
+    with a fully differentiable closed form. Edge-edge crossings are not
+    generated (deep edge-on-edge impacts resolve one step later through
+    vertex contacts)."""
+    half_a, half_b = pa[:3] / 2.0, pb[:3] / 2.0
+    pts, ns, ds = [], [], []
+    ca = _box_corners(pa)
+    for k in range(8):
+        v_w = Ta.apply(ca[k])
+        depth, n_out = _vertex_in_box(v_w, half_b, Tb)
+        # normal must point from B into A: vertex of A inside B pushes A
+        # out along B's outward face normal.
+        pts.append(v_w)
+        ns.append(n_out)
+        ds.append(depth)
+    cb = _box_corners(pb)
+    for k in range(8):
+        v_w = Tb.apply(cb[k])
+        depth, n_out = _vertex_in_box(v_w, half_a, Ta)
+        pts.append(v_w)
+        ns.append(-n_out)  # B's vertex in A: push B along −(A's outward)
+        ds.append(depth)
+    return pts, ns, ds
+
+
+def _capsule_box(pa, pb, Ta, Tb):
+    """Capsule (A) end-spheres vs box (B): 2 sphere-box style slots."""
+    r, h = pa[0], pa[1]
+    half = pb[:3] / 2.0
+    pts, ns, ds = [], [], []
+    for sign in (-1.0, 1.0):
+        end_w = Ta.apply(jnp.asarray([0.0, 0.0, sign * h / 2.0], dtype=pa.dtype))
+        c_local = Tb.inverse().apply(end_w)
+        closest = jnp.clip(c_local, -half, half)
+        delta = c_local - closest
+        dist = jnp.sqrt(jnp.maximum(jnp.dot(delta, delta), 1e-18))
+        outside = dist > 1e-9
+        # outside: usual sphere-box; (deeply) inside: fall back to face push
+        depth_in, n_in = _vertex_in_box(end_w, half, Tb)
+        n_out = Tb.rotate(delta / dist)
+        depth = jnp.where(outside, r - dist, r + depth_in)
+        n = jnp.where(outside, n_out, n_in)
+        pts.append(Tb.apply(closest))
+        ns.append(n)
+        ds.append(depth)
+    return pts, ns, ds
 
 
 def _sphere_box(pa, pb, Ta, Tb):

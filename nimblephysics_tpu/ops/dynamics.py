@@ -58,10 +58,11 @@ def forward_kinematics(model: Model, q: jax.Array) -> Kinematics:
         qi = q[model.joint_slice(i)]
         T_pj = Transform(model.T_pj.R[i], model.T_pj.p[i])
         T_cj = Transform(model.T_cj.R[i], model.T_cj.p[i])
-        Q = J.joint_transform(jt, qi, model.axes[i])
+        spec = model.custom_spec(i)
+        Q = J.joint_transform(jt, qi, model.axes[i], spec)
         Ti = T_pj.compose(Q).compose(T_cj.inverse())
         T_pc.append(Ti)
-        S.append(J.child_subspace(jt, qi, model.axes[i], T_cj))
+        S.append(J.child_subspace(jt, qi, model.axes[i], T_cj, spec))
         p = model.parents[i]
         T_wb.append(Ti if p < 0 else T_wb[p].compose(Ti))
     return Kinematics(T_wb=T_wb, T_pc=T_pc, S=S)
@@ -72,7 +73,9 @@ def _subspaces_with_rates(model: Model, q: jax.Array, v: jax.Array):
     for i, jt in enumerate(model.joint_types):
         sl = model.joint_slice(i)
         T_cj = Transform(model.T_cj.R[i], model.T_cj.p[i])
-        Si, cJi = J.child_subspace_and_rate(jt, q[sl], v[sl], model.axes[i], T_cj)
+        Si, cJi = J.child_subspace_and_rate(
+            jt, q[sl], v[sl], model.axes[i], T_cj, model.custom_spec(i)
+        )
         S.append(Si)
         cJ.append(cJi)
     return S, cJ

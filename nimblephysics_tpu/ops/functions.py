@@ -115,6 +115,44 @@ def simm_spline(xs, ys) -> SimmSpline:
     return SimmSpline(xs=jnp.asarray(xs), ys=jnp.asarray(ys), c2=jnp.asarray(c2))
 
 
+# ---------------------------------------------------------------------------
+# Hashable function SPECS: plain nested tuples usable as static jit metadata
+# (CustomJoint drive functions compile to constants). Kinds:
+#   ("constant", v) | ("linear", slope, intercept) | ("poly", coeffs...)
+#   ("spline", xs, ys, c2)  — natural cubic, c2 from build_spline_spec
+#   ("multiplier", inner_spec, scale)
+# ---------------------------------------------------------------------------
+
+
+def build_spline_spec(xs, ys) -> tuple:
+    sp = simm_spline(xs, ys)
+    return (
+        "spline",
+        tuple(float(v) for v in np.asarray(sp.xs)),
+        tuple(float(v) for v in np.asarray(sp.ys)),
+        tuple(float(v) for v in np.asarray(sp.c2)),
+    )
+
+
+def eval_fn_spec(spec: tuple, x):
+    """Evaluate a hashable function spec at traced x (differentiable)."""
+    kind = spec[0]
+    if kind == "constant":
+        return jnp.asarray(spec[1], dtype=jnp.result_type(x)) + 0.0 * x
+    if kind == "linear":
+        return spec[1] * x + spec[2]
+    if kind == "poly":
+        return jnp.polyval(jnp.asarray(spec[1][::-1]), x)
+    if kind == "spline":
+        sp = SimmSpline(
+            xs=jnp.asarray(spec[1]), ys=jnp.asarray(spec[2]), c2=jnp.asarray(spec[3])
+        )
+        return sp(x)
+    if kind == "multiplier":
+        return spec[2] * eval_fn_spec(spec[1], x)
+    raise ValueError(f"unknown function spec {kind!r}")
+
+
 def derivative(fn, x):
     """d fn / dx at x (reference `calcDerivative`) via AD."""
     return jax.grad(lambda z: fn(z))(x)

@@ -23,10 +23,50 @@ import jax
 import jax.numpy as jnp
 
 from nimblephysics_tpu.ops import lie
+from nimblephysics_tpu.ops.functions import eval_fn_spec
 from nimblephysics_tpu.ops.lie import Transform
 
+# A CustomSpec is hashable static metadata describing an OpenSim-style
+# CustomJoint (dart/dynamics/CustomJoint.hpp:56-95): ndof coordinates drive
+# six transform axes through 1-D functions:
+#   (ndof, entries) with entries = 6 x ("rot"|"trans", axis xyz tuple,
+#   fn_spec (ops/functions.py), coord_index or -1 for constants)
+# T = Trans(sum trans_i axis_i f_i) ∘ Rot(prod rot_i about axis_i by f_i),
+# translation expressed in the joint(parent-side) frame — OpenSim
+# SpatialTransform semantics.
 
-def joint_transform(jtype: str, q: jax.Array, axes: jax.Array) -> Transform:
+
+def custom_joint_transform(q: jax.Array, spec) -> Transform:
+    ndof, entries = spec
+    dtype = q.dtype
+    R = jnp.eye(3, dtype=dtype)
+    p = jnp.zeros(3, dtype=dtype)
+    for kind, axis, fn, coord in entries:
+        val = eval_fn_spec(fn, q[coord] if coord >= 0 else jnp.zeros((), dtype))
+        a = jnp.asarray(axis, dtype=dtype)
+        if kind == "rot":
+            R = R @ lie.expm_so3(a * val)
+        else:
+            p = p + a * val
+    return Transform(R, p)
+
+
+def _subspace_via_autodiff(transform_fn, q: jax.Array) -> jax.Array:
+    """Generic motion subspace: column j = (vee(Rᵀ ∂R/∂q_j); Rᵀ ∂p/∂q_j)."""
+    Q = transform_fn(q)
+    eye = jnp.eye(q.shape[0], dtype=q.dtype)
+
+    def col(e):
+        _, (dR, dp) = jax.jvp(lambda qq: tuple(transform_fn(qq)), (q,), (e,))
+        Rt = Q.R.T
+        return jnp.concatenate([lie.vee(Rt @ dR), Rt @ dp])
+
+    return jax.vmap(col, 0, 1)(eye)
+
+
+def joint_transform(
+    jtype: str, q: jax.Array, axes: jax.Array, custom_spec=None
+) -> Transform:
     """Relative transform Q(q) in the joint frame. `axes` is (3, 3): up to
     three static axis row-vectors whose meaning depends on the type."""
     dtype = q.dtype if q.size else axes.dtype
@@ -67,10 +107,14 @@ def joint_transform(jtype: str, q: jax.Array, axes: jax.Array) -> Transform:
         return Transform(R, zero3)
     if jtype == "free":
         return Transform(lie.expm_so3(q[:3]), q[3:])
+    if jtype == "custom":
+        return custom_joint_transform(q, custom_spec)
     raise ValueError(f"unknown joint type {jtype!r}")
 
 
-def joint_subspace(jtype: str, q: jax.Array, axes: jax.Array) -> jax.Array:
+def joint_subspace(
+    jtype: str, q: jax.Array, axes: jax.Array, custom_spec=None
+) -> jax.Array:
     """Motion subspace S_joint(q): (6, ndof) such that the joint-frame body
     velocity vee(Q⁻¹ Q̇) = S_joint q̇."""
     dtype = q.dtype if q.size else axes.dtype
@@ -130,19 +174,24 @@ def joint_subspace(jtype: str, q: jax.Array, axes: jax.Array) -> jax.Array:
             ],
             axis=0,
         )
+    if jtype == "custom":
+        return _subspace_via_autodiff(
+            lambda qq: custom_joint_transform(qq, custom_spec), q
+        )
     raise ValueError(f"unknown joint type {jtype!r}")
 
 
 def child_subspace(
-    jtype: str, q: jax.Array, axes: jax.Array, T_cj: Transform
+    jtype: str, q: jax.Array, axes: jax.Array, T_cj: Transform, custom_spec=None
 ) -> jax.Array:
     """S in the child body frame: Ad(T_cj) S_joint, (6, ndof)."""
-    S = joint_subspace(jtype, q, axes)
+    S = joint_subspace(jtype, q, axes, custom_spec)
     return lie.Ad(T_cj) @ S
 
 
 def child_subspace_and_rate(
-    jtype: str, q: jax.Array, v: jax.Array, axes: jax.Array, T_cj: Transform
+    jtype: str, q: jax.Array, v: jax.Array, axes: jax.Array, T_cj: Transform,
+    custom_spec=None,
 ):
     """(S_child, Ṡ_child q̇): the second term is the cJ bias of Featherstone.
 
@@ -152,7 +201,9 @@ def child_subspace_and_rate(
     if jtype in ("weld", "revolute", "prismatic", "translational", "translational2d"):
         S = child_subspace(jtype, q, axes, T_cj)
         return S, jnp.zeros(S.shape[:-1], dtype=S.dtype)
-    S, S_dot = jax.jvp(lambda qq: child_subspace(jtype, qq, axes, T_cj), (q,), (v,))
+    S, S_dot = jax.jvp(
+        lambda qq: child_subspace(jtype, qq, axes, T_cj, custom_spec), (q,), (v,)
+    )
     return S, S_dot @ v
 
 
