@@ -29,7 +29,7 @@ def main():
         return -5.0 * x[model.nq]
 
     mpc = MPC(model, running, final,
-              MPCConfig(horizon=100, replan_iters=4, first_solve_iters=20))
+              MPCConfig(horizon=50, replan_iters=4, first_solve_iters=20, unroll=1))
 
     state = s0
     t = 0.0

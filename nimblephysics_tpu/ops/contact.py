@@ -71,14 +71,15 @@ def lcp_findex(model: Model) -> Tuple[int, ...]:
 
 def _tangent_basis(n: jax.Array):
     """ODE-style tangent basis (ContactConstraint::getTangentBasisMatrixODE):
-    first frictional direction is +Z with X fallback, made branch-free."""
-    z = jnp.asarray([0.0, 0.0, 1.0], dtype=n.dtype)
-    x = jnp.asarray([1.0, 0.0, 0.0], dtype=n.dtype)
+    first frictional direction is +Z with X fallback, made branch-free.
+    Batched: n (..., 3) -> (t1, t2) each (..., 3)."""
+    z = jnp.zeros_like(n).at[..., 2].set(1.0)
+    x = jnp.zeros_like(n).at[..., 0].set(1.0)
     t_z = jnp.cross(z, n)
     t_x = jnp.cross(x, n)
-    use_z = jnp.sum(t_z * t_z) > 1e-12
+    use_z = (jnp.sum(t_z * t_z, axis=-1) > 1e-12)[..., None]
     t = jnp.where(use_z, t_z, t_x)
-    t = t / jnp.sqrt(jnp.maximum(jnp.sum(t * t), 1e-18))
+    t = t / jnp.sqrt(jnp.maximum(jnp.sum(t * t, axis=-1, keepdims=True), 1e-18))
     t2 = jnp.cross(n, t)
     return t, t2
 
@@ -109,80 +110,81 @@ def build_constraint_system(
 
     Jw = dyn.world_jacobian(model, kin)  # (nb, 6, nq)
 
-    rows = []
-    b_rows = []
-    lo_rows = []
-    hi_rows = []
-    fscale_rows = []
-
-    inv_dt = 1.0 / model.dt
-
-    for k in range(K):
-        n = contacts.normal[k]
-        p = contacts.point[k]
-        active = contacts.active[k]
-        act = active.astype(dtype)
-        t1, t2 = _tangent_basis(n)
-
-        def point_jac(b_idx):
-            if b_idx < 0:
-                return jnp.zeros((3, nq), dtype=dtype)
-            Jb = Jw[b_idx]
-            return Jb[3:] + jnp.cross(Jb[:3], p[:, None], axis=0)
-
-        Jp = point_jac(contacts.body_a[k]) - point_jac(contacts.body_b[k])
-        for d in (n, t1, t2):
-            rows.append(act * (d @ Jp))
-
-        # b: −(relative velocity along dirs) + bounce on the normal row.
-        e = contacts.restitution[k]
-        # restitution bounce (ContactConstraint::getInformation B.)
-        neg_vn = -(rows[-3] @ v_star)
-        restitution_vel = jnp.where(
-            e > RESTITUTION_THRESHOLD, neg_vn * e, 0.0
+    if K:
+        # ---- fully vectorized contact rows (no per-slot Python graphs) ----
+        # body gather with a zero row for the static world (-1)
+        Jw_ext = jnp.concatenate(
+            [Jw, jnp.zeros((1, 6, nq), dtype=dtype)], axis=0
         )
+        nb = model.num_bodies
+        ia = jnp.asarray([b if b >= 0 else nb for b in contacts.body_a])
+        ib = jnp.asarray([b if b >= 0 else nb for b in contacts.body_b])
+        Ja, Jb = Jw_ext[ia], Jw_ext[ib]               # (K, 6, nq)
+        p = contacts.point                            # (K, 3)
+
+        def point_jac(Jfull):
+            # (K, 3, nq): linear + omega x p  with world-origin spatial ref
+            return Jfull[:, 3:, :] + jnp.cross(
+                Jfull[:, :3, :], p[:, :, None], axis=1
+            )
+
+        Jp = point_jac(Ja) - point_jac(Jb)            # (K, 3, nq)
+        n = contacts.normal
+        t1, t2 = _tangent_basis(n)
+        dirs = jnp.stack([n, t1, t2], axis=1)         # (K, 3, 3)
+        act = contacts.active.astype(dtype)           # (K,)
+        rows_c = act[:, None, None] * jnp.einsum("kdi,kin->kdn", dirs, Jp)
+
+        rel_v = jnp.einsum("kdn,n->kd", rows_c, v_star)   # (K, 3)
+        neg_vn = -rel_v[:, 0]
+        e = contacts.restitution
+        restitution_vel = jnp.where(e > RESTITUTION_THRESHOLD, neg_vn * e, 0.0)
         bounce = jnp.where(
             restitution_vel > BOUNCING_VELOCITY_THRESHOLD,
             jnp.minimum(restitution_vel, MAX_BOUNCING_VELOCITY),
             0.0,
         )
-        b_rows.append(act * (neg_vn + bounce))
-        b_rows.append(act * -(rows[-2] @ v_star))
-        b_rows.append(act * -(rows[-1] @ v_star))
-
-        lo_rows.extend([jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.zeros((), dtype)])
-        hi_rows.extend(
-            [act * _BIG, jnp.zeros((), dtype), jnp.zeros((), dtype)]
+        b_c = jnp.stack(
+            [act * (neg_vn + bounce), -act * rel_v[:, 1], -act * rel_v[:, 2]],
+            axis=1,
         )
-        mu = contacts.friction[k]
-        fscale_rows.extend([jnp.zeros((), dtype), act * mu, act * mu])
+        zero_k = jnp.zeros((K,), dtype)
+        hi_c = jnp.stack([act * _BIG, zero_k, zero_k], axis=1)
+        mu = contacts.friction * act
+        fs_c = jnp.stack([zero_k, mu, mu], axis=1)
 
-    # Joint limit rows (JointLimitConstraint::update): lower limit active when
-    # q <= lo (impulse >= 0 on +e_d); upper when q >= hi (impulse <= 0 ... we
-    # use row −e_d with impulse >= 0 instead to keep all bounds [0, hi]).
-    for d in Ld:
-        e_d = jnp.zeros(nq, dtype=dtype).at[d].set(1.0)
-        lo_violated = (q[d] - model.q_lower[d]) <= 0.0
-        act = lo_violated.astype(dtype)
-        rows.append(act * e_d)
-        b_rows.append(act * -v_star[d])
-        lo_rows.append(jnp.zeros((), dtype))
-        hi_rows.append(act * _BIG)
-        fscale_rows.append(jnp.zeros((), dtype))
+        J = rows_c.reshape(3 * K, nq)
+        b = b_c.reshape(3 * K)
+        lo = jnp.zeros(3 * K, dtype)
+        hi = hi_c.reshape(3 * K)
+        fscale = fs_c.reshape(3 * K)
+    else:
+        J = jnp.zeros((0, nq), dtype=dtype)
+        b = jnp.zeros((0,), dtype=dtype)
+        lo = jnp.zeros((0,), dtype=dtype)
+        hi = jnp.zeros((0,), dtype=dtype)
+        fscale = jnp.zeros((0,), dtype=dtype)
 
-        hi_violated = (q[d] - model.q_upper[d]) >= 0.0
-        act = hi_violated.astype(dtype)
-        rows.append(act * -e_d)
-        b_rows.append(act * v_star[d])
-        lo_rows.append(jnp.zeros((), dtype))
-        hi_rows.append(act * _BIG)
-        fscale_rows.append(jnp.zeros((), dtype))
-
-    J = jnp.stack(rows) if rows else jnp.zeros((0, nq), dtype=dtype)
-    b = jnp.stack(b_rows) if b_rows else jnp.zeros((0,), dtype=dtype)
-    lo = jnp.stack(lo_rows) if lo_rows else jnp.zeros((0,), dtype=dtype)
-    hi = jnp.stack(hi_rows) if hi_rows else jnp.zeros((0,), dtype=dtype)
-    fscale = jnp.stack(fscale_rows) if fscale_rows else jnp.zeros((0,), dtype=dtype)
+    if Ld:
+        # Joint limit rows (JointLimitConstraint::update): lower limit
+        # active when q <= lo (impulse >= 0 on +e_d); upper when q >= hi
+        # (row −e_d with impulse >= 0 keeps all bounds [0, hi]).
+        d_idx = jnp.asarray(Ld, dtype=jnp.int32)
+        E = jax.nn.one_hot(d_idx, nq, dtype=dtype)    # (L, nq)
+        lo_act = ((q[d_idx] - model.q_lower[d_idx]) <= 0.0).astype(dtype)
+        hi_act = ((q[d_idx] - model.q_upper[d_idx]) >= 0.0).astype(dtype)
+        J_lim = jnp.concatenate(
+            [lo_act[:, None] * E, -hi_act[:, None] * E], axis=0
+        )
+        b_lim = jnp.concatenate(
+            [-lo_act * v_star[d_idx], hi_act * v_star[d_idx]]
+        )
+        hi_lim = jnp.concatenate([lo_act, hi_act]) * _BIG
+        J = jnp.concatenate([J, J_lim], axis=0)
+        b = jnp.concatenate([b, b_lim])
+        lo = jnp.concatenate([lo, jnp.zeros(2 * len(Ld), dtype)])
+        hi = jnp.concatenate([hi, hi_lim])
+        fscale = jnp.concatenate([fscale, jnp.zeros(2 * len(Ld), dtype)])
 
     M = dyn.mass_matrix(model, q)
     Minv_Jt = jnp.linalg.solve(M, J.T)          # (nq, m)

@@ -80,19 +80,23 @@ def pgs_solve(
     # promote x0's shard_map varying-axes metadata to match b (a replicated
     # zero warm start would otherwise break the fori carry under shard_map)
     x0 = x0 + 0.0 * b
+    # static gather index for friction coupling (-1 -> self, masked out)
+    gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
+    coupled = jnp.asarray([f >= 0 for f in findex])
+
+    # Rows as a fori_loop with dynamic indexing (not unrolled at trace
+    # time): keeps the step graph small for big contact LCPs — compile
+    # size used to scale with m, which exploded the T-step scan graphs.
+    def row(i, x):
+        resid = A[i] @ x - b[i]
+        xi = x[i] - resid * inv_diag[i]
+        f_hi = fscale[i] * jnp.maximum(x[gather[i]], 0.0)
+        lo_i = jnp.where(coupled[i], -f_hi, lo_const[i])
+        hi_i = jnp.where(coupled[i], f_hi, hi_const[i])
+        return x.at[i].set(jnp.clip(xi, lo_i, hi_i))
 
     def sweep(_, x):
-        for i in range(m):
-            resid = A[i] @ x - b[i]
-            xi = x[i] - resid * inv_diag[i]
-            if findex[i] >= 0:
-                f_hi = fscale[i] * jnp.maximum(x[findex[i]], 0.0)
-                lo_i, hi_i = -f_hi, f_hi
-            else:
-                lo_i, hi_i = lo_const[i], hi_const[i]
-            xi = jnp.clip(xi, lo_i, hi_i)
-            x = x.at[i].set(xi)
-        return x
+        return jax.lax.fori_loop(0, m, row, x)
 
     return jax.lax.fori_loop(0, iters, sweep, x0)
 

@@ -34,6 +34,9 @@ class MPCConfig:
     replan_iters: int = 8           # iLQR iterations per replan (warm-started)
     first_solve_iters: int = 40     # cold-start iterations for the first plan
     use_feedback_gains: bool = True
+    # scan unroll for the solver time loops; keep low for contact models
+    # (their per-step graphs are large and compile time scales with unroll)
+    unroll: int = 10
 
 
 class MPC:
@@ -61,7 +64,7 @@ class MPC:
                 u_warm,
                 running_cost,
                 final_cost,
-                ILQRConfig(iters=iters),
+                ILQRConfig(iters=iters, unroll=config.unroll),
             )
             return sol.u, sol.x, sol.K, sol.cost
 
