@@ -111,6 +111,7 @@ class Model:
 
     # ---- per-dof parameters ----
     damping: jax.Array = None       # (nq,)
+    coulomb_friction: jax.Array = None  # (nq,) static joint friction force
     stiffness: jax.Array = None     # (nq,)
     rest_pos: jax.Array = None      # (nq,)
     q_lower: jax.Array = None       # (nq,)
@@ -214,7 +215,7 @@ def build_model(
     TpjR, Tpjp, TcjR, Tcjp = [], [], [], []
     axes_all = []
     mass, com, moment = [], [], []
-    damping, stiffness, rest = [], [], []
+    damping, coulomb, stiffness, rest = [], [], [], []
     q_lo, q_hi, tau_lo, tau_hi = [], [], [], []
     inf = float("inf")
 
@@ -247,6 +248,7 @@ def build_model(
         com.append(np.asarray(j.get("com", np.zeros(3)), dtype=np.float64))
         moment.append(np.asarray(j.get("moment", np.eye(3)), dtype=np.float64))
         damping.extend(_per_dof(j.get("damping", 0.0), nd))
+        coulomb.extend(_per_dof(j.get("coulomb_friction", 0.0), nd))
         stiffness.extend(_per_dof(j.get("stiffness", 0.0), nd))
         rest.extend(_per_dof(j.get("rest", 0.0), nd))
         q_lo.extend(_per_dof(j.get("q_lower", -inf), nd))
@@ -274,6 +276,7 @@ def build_model(
         com=arr(com),
         moment=arr(moment),
         damping=arr(damping),
+        coulomb_friction=arr(coulomb),
         stiffness=arr(stiffness),
         rest_pos=arr(rest),
         q_lower=arr(q_lo),

@@ -56,8 +56,24 @@ def limited_dofs(model: Model) -> Tuple[int, ...]:
     )
 
 
+def coulomb_dofs(model: Model) -> Tuple[int, ...]:
+    """Dofs with static Coulomb joint friction
+    (JointCoulombFrictionConstraint)."""
+    import numpy as np
+
+    try:
+        cf = np.asarray(model.coulomb_friction)
+    except Exception:  # traced (domain-randomized): give every dof a row
+        return tuple(range(model.nq))
+    return tuple(int(d) for d in range(model.nq) if cf[d] > 0.0)
+
+
 def lcp_dim(model: Model) -> int:
-    return 3 * total_slots(model) + 2 * len(limited_dofs(model))
+    return (
+        3 * total_slots(model)
+        + 2 * len(limited_dofs(model))
+        + len(coulomb_dofs(model))
+    )
 
 
 def lcp_findex(model: Model) -> Tuple[int, ...]:
@@ -66,6 +82,7 @@ def lcp_findex(model: Model) -> Tuple[int, ...]:
     for k in range(total_slots(model)):
         fi.extend([-1, 3 * k, 3 * k])
     fi.extend([-1] * (2 * len(limited_dofs(model))))
+    fi.extend([-1] * len(coulomb_dofs(model)))
     return tuple(fi)
 
 
@@ -185,6 +202,19 @@ def build_constraint_system(
         lo = jnp.concatenate([lo, jnp.zeros(2 * len(Ld), dtype)])
         hi = jnp.concatenate([hi, hi_lim])
         fscale = jnp.concatenate([fscale, jnp.zeros(2 * len(Ld), dtype)])
+
+    Cd = coulomb_dofs(model)
+    if Cd:
+        # Joint Coulomb friction (JointCoulombFrictionConstraint): boxed
+        # impulse |x| <= mu_c * dt resisting dof velocity.
+        c_idx = jnp.asarray(Cd, dtype=jnp.int32)
+        Ec = jax.nn.one_hot(c_idx, nq, dtype=dtype)
+        f_imp = model.coulomb_friction[c_idx] * model.dt
+        J = jnp.concatenate([J, Ec], axis=0)
+        b = jnp.concatenate([b, -v_star[c_idx]])
+        lo = jnp.concatenate([lo, -f_imp])
+        hi = jnp.concatenate([hi, f_imp])
+        fscale = jnp.concatenate([fscale, jnp.zeros(len(Cd), dtype)])
 
     M = dyn.mass_matrix(model, q)
     Minv_Jt = jnp.linalg.solve(M, J.T)          # (nq, m)

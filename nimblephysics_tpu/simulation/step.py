@@ -63,9 +63,9 @@ def step(model: Model, state: State, action: jax.Array) -> State:
     Dispatches to the contact step when the model has collision shapes.
     """
     tau = model.action_to_tau(action)
-    if model.shapes:
-        from nimblephysics_tpu.ops.contact import contact_step
+    from nimblephysics_tpu.ops.contact import contact_step, lcp_dim
 
+    if lcp_dim(model) > 0:
         return contact_step(model, state, tau)
     return forward_step(model, state, tau)
 
