@@ -125,9 +125,8 @@ def build_constraint_system(
     Ld = limited_dofs(model)
     m = 3 * K + 2 * len(Ld)
 
-    Jw = dyn.world_jacobian(model, kin)  # (nb, 6, nq)
-
     if K:
+        Jw = dyn.world_jacobian(model, kin)  # (nb, 6, nq)
         # ---- fully vectorized contact rows (no per-slot Python graphs) ----
         # body gather with a zero row for the static world (-1)
         Jw_ext = jnp.concatenate(
@@ -216,7 +215,7 @@ def build_constraint_system(
         hi = jnp.concatenate([hi, f_imp])
         fscale = jnp.concatenate([fscale, jnp.zeros(len(Cd), dtype)])
 
-    M = dyn.mass_matrix(model, q)
+    M = dyn.mass_matrix(model, q, kin=kin)
     Minv_Jt = jnp.linalg.solve(M, J.T)          # (nq, m)
     A = J @ Minv_Jt + CFM * jnp.eye(m, dtype=dtype)
     return J, A, b, lo, hi, fscale, Minv_Jt
@@ -227,27 +226,37 @@ def contact_step(
     state: State,
     tau: jax.Array,
     x_warm: Optional[jax.Array] = None,
-    lcp_iters: int = 60,
+    lcp_iters: Optional[int] = None,
     return_info: bool = False,
 ):
     """One differentiable constrained timestep."""
     q, v = state.q, state.v
-    qdd = dyn.aba(model, q, v, tau)
+    kin0 = dyn.forward_kinematics(model, q)
+    qdd = dyn.aba(model, q, v, tau, kin=kin0)
     v_star = v + model.dt * qdd
 
     m = lcp_dim(model)
     if m == 0:
         q_next = step_mod.integrate_positions(model, q, v)
         return (State(q_next, v_star), None) if return_info else State(q_next, v_star)
+    if total_slots(model) > 0:
+        method = "gs"               # frictional contact: Gauss-Seidel depth
+        lcp_iters = 60 if lcp_iters is None else lcp_iters
+    else:
+        # limit/Coulomb-only LCPs are near-diagonal: projected Jacobi is one
+        # fused vector op per iteration (no sequential row chain)
+        method = "jacobi"
+        lcp_iters = 10 if lcp_iters is None else lcp_iters
 
-    kin = dyn.forward_kinematics(model, q)
-    contacts = detect_contacts(model, kin.T_wb)
+    contacts = detect_contacts(model, kin0.T_wb)
     J, A, b, lo, hi, fscale, Minv_Jt = build_constraint_system(
-        model, q, v_star, kin, contacts
+        model, q, v_star, kin0, contacts
     )
     if x_warm is None:
         x_warm = jnp.zeros(m, dtype=q.dtype)
-    x = lcp_mod.boxed_lcp(A, b, lo, hi, fscale, x_warm, lcp_findex(model), lcp_iters)
+    x = lcp_mod.boxed_lcp(
+        A, b, lo, hi, fscale, x_warm, lcp_findex(model), lcp_iters, method
+    )
 
     v_next = v_star + Minv_Jt @ x
     q_next = step_mod.integrate_positions(model, q, v)

@@ -125,6 +125,7 @@ def aba(
     tau: jax.Array,
     f_ext: Optional[List[jax.Array]] = None,
     include_spring_damper: bool = True,
+    kin: Optional[Kinematics] = None,
 ) -> jax.Array:
     """Articulated Body Algorithm: generalized accelerations q̈ (nq,).
 
@@ -132,7 +133,8 @@ def aba(
     Gravity enters via the standard fictitious base acceleration −g.
     """
     nb = model.num_bodies
-    kin = forward_kinematics(model, q)
+    if kin is None:
+        kin = forward_kinematics(model, q)
     vel = velocity_kinematics(model, kin, q, v)
     tau_eff = joint_forces(model, q, v, tau) if include_spring_damper else tau
     I_body = _body_inertias(model)
@@ -243,10 +245,13 @@ def rnea(
     return tau
 
 
-def mass_matrix(model: Model, q: jax.Array) -> jax.Array:
+def mass_matrix(
+    model: Model, q: jax.Array, kin: Optional[Kinematics] = None
+) -> jax.Array:
     """Composite Rigid Body Algorithm: M(q) (nq, nq)."""
     nb, nq = model.num_bodies, model.nq
-    kin = forward_kinematics(model, q)
+    if kin is None:
+        kin = forward_kinematics(model, q)
     I_body = _body_inertias(model)
     Ic = [I_body[i] for i in range(nb)]
     M = jnp.zeros((nq, nq), dtype=q.dtype)

@@ -84,9 +84,9 @@ def pgs_solve(
     gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
     coupled = jnp.asarray([f >= 0 for f in findex])
 
-    # Rows as a fori_loop with dynamic indexing (not unrolled at trace
-    # time): keeps the step graph small for big contact LCPs — compile
-    # size used to scale with m, which exploded the T-step scan graphs.
+    # Row updates: trace-unrolled for small LCPs (fastest — XLA fuses the
+    # whole sweep), fori_loop with dynamic indexing for large contact LCPs
+    # (compile size used to scale with m and exploded T-step scan graphs).
     def row(i, x):
         resid = A[i] @ x - b[i]
         xi = x[i] - resid * inv_diag[i]
@@ -95,10 +95,45 @@ def pgs_solve(
         hi_i = jnp.where(coupled[i], f_hi, hi_const[i])
         return x.at[i].set(jnp.clip(xi, lo_i, hi_i))
 
-    def sweep(_, x):
-        return jax.lax.fori_loop(0, m, row, x)
+    if m <= 12:
+        def sweep(_, x):
+            for i in range(m):
+                x = row(i, x)
+            return x
+    else:
+        def sweep(_, x):
+            return jax.lax.fori_loop(0, m, row, x)
 
     return jax.lax.fori_loop(0, iters, sweep, x0)
+
+
+def jacobi_solve(
+    A: jax.Array,
+    b: jax.Array,
+    lo_const: jax.Array,
+    hi_const: jax.Array,
+    fscale: jax.Array,
+    x0: jax.Array,
+    findex: Tuple[int, ...],
+    iters: int = 10,
+) -> jax.Array:
+    """Projected Jacobi: one fused vector op per iteration (no sequential
+    per-row chain). Converges for the near-diagonal LCPs of joint limits /
+    Coulomb friction; frictional contact uses Gauss-Seidel instead."""
+    diag = jnp.diagonal(A)
+    inv_diag = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
+    x0 = x0 + 0.0 * b
+    gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
+    coupled = jnp.asarray([f >= 0 for f in findex])
+
+    def it(_, x):
+        xi = x - (A @ x - b) * inv_diag
+        f_hi = fscale * jnp.maximum(x[gather], 0.0)
+        lo = jnp.where(coupled, -f_hi, lo_const)
+        hi = jnp.where(coupled, f_hi, hi_const)
+        return jnp.clip(xi, lo, hi)
+
+    return jax.lax.fori_loop(0, iters, it, x0)
 
 
 def _classify(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
@@ -130,13 +165,19 @@ def _classify(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
     return clamping, fric_upper, upper_sign
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(6, 7))
-def boxed_lcp(A, b, lo_const, hi_const, fscale, x0, findex: Tuple[int, ...], iters=60):
-    return pgs_solve(A, b, lo_const, hi_const, fscale, x0, findex, iters)
+def _solve(A, b, lo, hi, fscale, x0, findex, iters, method):
+    fn = jacobi_solve if method == "jacobi" else pgs_solve
+    return fn(A, b, lo, hi, fscale, x0, findex, iters)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8))
+def boxed_lcp(A, b, lo_const, hi_const, fscale, x0, findex: Tuple[int, ...],
+              iters=60, method="gs"):
+    return _solve(A, b, lo_const, hi_const, fscale, x0, findex, iters, method)
 
 
 @boxed_lcp.defjvp
-def _boxed_lcp_jvp(findex, iters, primals, tangents):
+def _boxed_lcp_jvp(findex, iters, method, primals, tangents):
     """Implicit active-set derivative, LINEAR in the tangents — so JAX both
     pushes jvps (jacfwd linearization in iLQR) and transposes it for
     reverse-mode (loss gradients), one rule for both.
@@ -146,7 +187,7 @@ def _boxed_lcp_jvp(findex, iters, primals, tangents):
     """
     A, b, lo_const, hi_const, fscale, x0 = primals
     dA, db, _dlo, _dhi, _dfs, _dx0 = tangents
-    x = pgs_solve(A, b, lo_const, hi_const, fscale, x0, findex, iters)
+    x = _solve(A, b, lo_const, hi_const, fscale, x0, findex, iters, method)
     m = b.shape[0]
     dtype = b.dtype
     clamping, upper, s = _classify(x, lo_const, hi_const, fscale, findex)
