@@ -64,13 +64,14 @@ def main() -> None:
 
     # compile + warm
     us, costs = solve_batch(x0, u_warm)
-    jax.block_until_ready((us, costs))
+    float(jnp.sum(costs))  # device->host sync (block_until_ready alone has
+    #                        been observed not to block on the remote path)
 
     reps = 5
     t0 = time.time()
     for _ in range(reps):
         us, costs = solve_batch(x0, us)  # warm-started like steady-state MPC
-        jax.block_until_ready((us, costs))
+        float(jnp.sum(costs))
     dt = (time.time() - t0) / reps
 
     solves_per_s = B / dt

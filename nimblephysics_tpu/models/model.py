@@ -30,6 +30,7 @@ JOINT_NDOF = {
     "weld": 0,
     "revolute": 1,
     "prismatic": 1,
+    "screw": 1,
     "universal": 2,
     "translational2d": 2,
     "translational": 3,

@@ -243,10 +243,11 @@ def contact_step(
         method = "gs"               # frictional contact: Gauss-Seidel depth
         lcp_iters = 60 if lcp_iters is None else lcp_iters
     else:
-        # limit/Coulomb-only LCPs are near-diagonal: projected Jacobi is one
-        # fused vector op per iteration (no sequential row chain)
-        method = "jacobi"
-        lcp_iters = 10 if lcp_iters is None else lcp_iters
+        # limit/Coulomb-only LCPs (no friction coupling): direct active-set
+        # solve — a few masked matrix solves, the reference's warm-start
+        # short-circuit structure (BoxedLcpConstraintSolver.cpp:422-458)
+        method = "direct"
+        lcp_iters = 3 if lcp_iters is None else lcp_iters
 
     contacts = detect_contacts(model, kin0.T_wb)
     J, A, b, lo, hi, fscale, Minv_Jt = build_constraint_system(

@@ -89,6 +89,11 @@ def joint_transform(
         # DOF order (trans1, trans2, rot): T = Trans(a1 q0 + a2 q1) ∘ Rot(a3 q2)
         R = lie.expm_so3(axes[2] * q[2])
         return Transform(R, axes[0] * q[0] + axes[1] * q[1])
+    if jtype == "screw":
+        # rotation about axes[0] coupled with translation pitch*q along it
+        # (axes[1][0] stores the pitch — dart/dynamics/ScrewJoint)
+        pitch = axes[1, 0]
+        return Transform(lie.expm_so3(axes[0] * q[0]), axes[0] * (pitch * q[0]))
     if jtype == "ball":
         return Transform(lie.expm_so3(q), zero3)
     if jtype == "euler_xyz":
@@ -129,6 +134,8 @@ def joint_subspace(
         return col(axes[0], zero3)[:, None]
     if jtype == "prismatic":
         return col(zero3, axes[0])[:, None]
+    if jtype == "screw":
+        return col(axes[0], axes[0] * axes[1, 0])[:, None]
     if jtype == "universal":
         # V = vee(Q⁻¹Q̇), Q = R1(q0) R2(q1):
         # col0 = (R2⁻¹ a1; 0), col1 = (a2; 0)
@@ -198,7 +205,8 @@ def child_subspace_and_rate(
     Ṡ q̇ is computed exactly with one jvp through S(q) — the TPU-native
     replacement for DART's hand-derived `updateRelativeJacobianTimeDeriv`.
     """
-    if jtype in ("weld", "revolute", "prismatic", "translational", "translational2d"):
+    if jtype in ("weld", "revolute", "prismatic", "screw", "translational",
+                 "translational2d"):
         S = child_subspace(jtype, q, axes, T_cj)
         return S, jnp.zeros(S.shape[:-1], dtype=S.dtype)
     S, S_dot = jax.jvp(

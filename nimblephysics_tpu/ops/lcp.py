@@ -165,7 +165,56 @@ def _classify(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
     return clamping, fric_upper, upper_sign
 
 
+def direct_boxed_solve(
+    A: jax.Array,
+    b: jax.Array,
+    lo_const: jax.Array,
+    hi_const: jax.Array,
+    rounds: int = 3,
+) -> jax.Array:
+    """Direct active-set solve for boxed LCPs WITHOUT friction coupling
+    (joint limits, Coulomb rows): the fixed-shape analog of the
+    reference's Dantzig path and warm-start short-circuit ("if classes are
+    consistent, solve with one matrix inversion",
+    BoxedLcpConstraintSolver.cpp:422-458).
+
+    Fixed `rounds` of {solve interior subsystem, project, reclassify} —
+    each round is a masked m x m solve, so the op chain is O(rounds), not
+    O(m * sweeps). Exact when the active set stabilizes (m is small)."""
+    m = b.shape[0]
+    dtype = b.dtype
+    eye = jnp.eye(m, dtype=dtype)
+
+    # class state: x_bound value for boundary rows; interior mask
+    interior = jnp.ones((m,), dtype=bool)
+    x = jnp.zeros_like(b)
+
+    def round_fn(carry, _):
+        interior, x = carry
+        i_mask = interior.astype(dtype)
+        x_bound = jnp.clip(x, lo_const, hi_const) * (1.0 - i_mask)
+        # solve A_II x_I = b_I − A_IB x_B  (padded to identity off-interior)
+        rhs = i_mask * (b - A @ x_bound)
+        Af = i_mask[:, None] * A * i_mask[None, :] + jnp.diag(1.0 - i_mask)
+        x_int = jnp.linalg.solve(Af, rhs)
+        x_new = x_int * i_mask + x_bound
+        # reclassify: interior rows outside the box go to the boundary;
+        # boundary rows with complementarity-violating w come back inside
+        w = A @ x_new - b
+        below = x_new <= lo_const
+        above = x_new >= hi_const
+        x_proj = jnp.clip(x_new, lo_const, hi_const)
+        want_in = (below & (w < 0.0)) | (above & (w > 0.0))
+        interior_new = (~below & ~above) | want_in
+        return (interior_new, x_proj), None
+
+    (interior, x), _ = jax.lax.scan(round_fn, (interior, x), None, length=rounds)
+    return x
+
+
 def _solve(A, b, lo, hi, fscale, x0, findex, iters, method):
+    if method == "direct":
+        return direct_boxed_solve(A, b, lo, hi, rounds=min(iters, 4))
     fn = jacobi_solve if method == "jacobi" else pgs_solve
     return fn(A, b, lo, hi, fscale, x0, findex, iters)
 

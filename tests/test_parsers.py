@@ -112,3 +112,53 @@ def test_mjcf_exporter_well_formed():
     assert len(root.findall(".//geom")) >= 2
     motors = root.findall(".//motor")
     assert len(motors) == model.num_actions
+
+
+def test_screw_joint_dynamics():
+    from nimblephysics_tpu.models.model import build_model
+    from nimblephysics_tpu.ops import dynamics as dyn
+
+    m = build_model([dict(type="screw", name="s", body_name="b", parent=-1,
+                          axes=[[0.0, 0.0, 1.0], [0.05, 0.0, 0.0]],  # pitch 0.05
+                          mass=1.0, moment=np.eye(3) * 0.01)])
+    q = jnp.asarray([0.7])
+    kin = dyn.forward_kinematics(m, q)
+    # advancing q rotates about z AND translates 0.05*q along z
+    np.testing.assert_allclose(float(kin.T_wb[0].p[2]), 0.05 * 0.7, atol=1e-12)
+    qdd = dyn.aba(m, q, jnp.asarray([0.3]), jnp.asarray([1.0]))
+    M = dyn.mass_matrix(m, q)
+    C = dyn.coriolis_and_gravity(m, q, jnp.asarray([0.3]))
+    qdd_ref = (1.0 - np.asarray(C)) / np.asarray(M)[0]
+    np.testing.assert_allclose(np.asarray(qdd), qdd_ref.ravel(), atol=1e-9)
+
+
+@needs_data
+def test_universal_loader_dispatch():
+    from nimblephysics_tpu.utils.universal_loader import load_world
+
+    m1, s1 = load_world(f"{SKEL_DIR}/cartpole.skel")
+    assert m1.nq == 2
+    m2, s2 = load_world("/root/reference/data/urdf/KR5/KR5 sixx R650.urdf")
+    assert m2.nq == 6
+
+
+@needs_data
+def test_sdf_parser():
+    import glob
+
+    from nimblephysics_tpu.utils.sdf_parser import parse_sdf
+
+    candidates = sorted(glob.glob("/root/reference/data/sdf/*.sdf")) + sorted(
+        glob.glob("/root/reference/data/sdf/**/*.sdf")
+    )
+    if not candidates:
+        pytest.skip("no sdf fixtures")
+    parsed = 0
+    for path in candidates[:3]:
+        try:
+            model, s0 = parse_sdf(path)
+        except ValueError:
+            continue
+        assert np.all(np.isfinite(np.asarray(s0.q)))
+        parsed += 1
+    assert parsed >= 1
