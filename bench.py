@@ -30,10 +30,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 def main() -> None:
     from nimblephysics_tpu.models import builders
-    from nimblephysics_tpu.models.model import State
+    from nimblephysics_tpu.models.model import State, relax_limits
     from nimblephysics_tpu.trajectory.ilqr import ILQRConfig, ilqr_solve
 
-    model = builders.cartpole(dt=0.02)
+    # Planning model: limits relaxed (the planner/plant split — the world
+    # keeps the LCP constraint engine; the planner linearizes smooth
+    # dynamics, which is how the realtime MPC layer is meant to be used).
+    model = relax_limits(builders.cartpole(dt=0.02))
     nq, na = model.nq, model.num_actions
     H = 100
     B = int(os.environ.get("BENCH_BATCH", "1024"))

@@ -302,6 +302,23 @@ def _per_dof(val: Any, nd: int) -> list:
     return out
 
 
+def relax_limits(model: Model) -> Model:
+    """A copy with joint position limits and Coulomb friction removed.
+
+    Use as an MPC PLANNING model: the solver linearizes smooth dynamics
+    (no per-step LCP) while the simulated/real world keeps the full
+    constraint engine — the standard planner/plant split, and the same
+    spirit as the reference's pluggable constraint-engine escape hatch
+    (`World::replaceConstraintEngineFn`, World.cpp:270-280). Control
+    bounds (tau limits) are kept — iLQR clamps to them."""
+    inf = jnp.asarray(np.inf, dtype=model.mass.dtype)
+    return model.replace(
+        q_lower=jnp.full_like(model.q_lower, -inf),
+        q_upper=jnp.full_like(model.q_upper, inf),
+        coulomb_friction=jnp.zeros_like(model.coulomb_friction),
+    )
+
+
 def zero_state(model: Model, dtype=None) -> State:
     dtype = dtype or model.mass.dtype
     return State(

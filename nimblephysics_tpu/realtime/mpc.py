@@ -48,8 +48,15 @@ class MPC:
         running_cost: Callable,
         final_cost: Callable,
         config: MPCConfig = MPCConfig(),
+        planning_model: Optional[Model] = None,
     ):
+        """`model` is the plant (used for state estimation / buffers);
+        `planning_model` is what iLQR linearizes — pass
+        `relax_limits(model)` to plan with smooth dynamics while the world
+        keeps the LCP constraint engine (the planner/plant split; big
+        throughput win for limit-bearing models)."""
         self.model = model
+        plan_model = planning_model if planning_model is not None else model
         self.config = config
         self.obs_log = VectorLog(2 * model.nq)
         self._plan: Optional[ControlPlan] = None
@@ -59,7 +66,7 @@ class MPC:
 
         def replan(x0_flat, u_warm, iters):
             sol = ilqr_solve(
-                model,
+                plan_model,
                 State.from_flat(x0_flat),
                 u_warm,
                 running_cost,

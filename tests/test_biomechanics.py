@@ -171,3 +171,64 @@ def test_dynamics_fitter_recovers_mass():
     ratio = float(result.masses[1] / result.masses[0])
     assert abs(ratio - 0.75) < 0.02, ratio
     assert float(result.final_residual_rms) < 1e-3
+
+
+def test_skeleton_converter_retargets():
+    """Retarget a 2-link source motion onto a 3-link target: linked tip
+    points must coincide after IK."""
+    from nimblephysics_tpu.biomechanics.skeleton_converter import SkeletonConverter
+    from nimblephysics_tpu.neural.mappings import marker_positions
+
+    src = builders.pendulum(2)   # links of length 1
+    tgt = builders.pendulum(3)   # links of length 1 (longer chain)
+    conv = SkeletonConverter(
+        source=src, target=tgt,
+        source_points=((1, (0.0, -1.0, 0.0)),),     # source tip (reach 2)
+        target_points=((2, (0.0, -1.0, 0.0)),),     # target tip (reach 3)
+    )
+    rng = np.random.default_rng(0)
+    T = 10
+    src_qs = jnp.asarray(rng.uniform(-0.7, 0.7, (T, 2)))
+    tgt_qs = jax.jit(
+        lambda: conv.retarget(src_qs, jnp.asarray([0.3, 0.3, 0.3]),
+                              iters_per_frame=60)
+    )()
+    for t in [0, 5, 9]:
+        p_src = marker_positions(src, src_qs[t], [(1, jnp.asarray([0.0, -1.0, 0.0]))])
+        p_tgt = marker_positions(tgt, tgt_qs[t], [(2, jnp.asarray([0.0, -1.0, 0.0]))])
+        np.testing.assert_allclose(
+            np.asarray(p_tgt), np.asarray(p_src), atol=2e-3
+        )
+
+
+def test_marker_traces_and_swap_fixing():
+    from nimblephysics_tpu.biomechanics.marker_labeller import (
+        build_traces,
+        fix_marker_swaps,
+    )
+
+    rng = np.random.default_rng(1)
+    T = 60
+    # two markers moving on smooth paths
+    t = np.linspace(0, 1, T)
+    m0 = np.stack([np.sin(t), np.cos(t), 0 * t], axis=1)
+    m1 = np.stack([1.5 + 0 * t, t, 0.5 * t], axis=1)
+    # frames with shuffled ordering per frame
+    frames = []
+    for k in range(T):
+        pts = [m0[k], m1[k]]
+        if k % 3 == 0:
+            pts = pts[::-1]
+        frames.append(np.stack(pts))
+    traces = build_traces(frames, max_jump=0.2)
+    # both markers should form single continuous traces
+    long_traces = [tr for tr in traces if len(tr.points) == T]
+    assert len(long_traces) == 2
+
+    # swap fixing: swap the labels halfway through
+    obs = np.stack([m0, m1], axis=1)  # (T, 2, 3)
+    swapped = obs.copy()
+    swapped[30:] = swapped[30:, ::-1]
+    mask = np.ones((T, 2), dtype=bool)
+    fixed = fix_marker_swaps(swapped, mask, max_jump=0.1)
+    np.testing.assert_allclose(fixed, obs, atol=1e-12)
