@@ -140,6 +140,18 @@ class Model:
         default=(), metadata=dict(static=True)
     )
 
+    # ---- actuator constraints (dart/constraint Servo/MimicMotorConstraint) --
+    # servo_dofs: dofs whose action is a VELOCITY command enforced by a
+    # force-limited LCP row (Joint::SERVO actuator type)
+    servo_dofs: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    # mimic couplings: (dof, reference_dof, multiplier, offset) — dof
+    # velocity tracks multiplier * reference velocity (MimicMotorConstraint)
+    mimic: Tuple[Tuple[int, int, float, float], ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
     # ------------------------------------------------------------------
     @property
     def num_bodies(self) -> int:

@@ -73,6 +73,8 @@ def lcp_dim(model: Model) -> int:
         3 * total_slots(model)
         + 2 * len(limited_dofs(model))
         + len(coulomb_dofs(model))
+        + len(model.servo_dofs)
+        + len(model.mimic)
     )
 
 
@@ -83,6 +85,7 @@ def lcp_findex(model: Model) -> Tuple[int, ...]:
         fi.extend([-1, 3 * k, 3 * k])
     fi.extend([-1] * (2 * len(limited_dofs(model))))
     fi.extend([-1] * len(coulomb_dofs(model)))
+    fi.extend([-1] * (len(model.servo_dofs) + len(model.mimic)))
     return tuple(fi)
 
 
@@ -117,6 +120,7 @@ def build_constraint_system(
     v_star: jax.Array,
     kin,
     contacts: ContactSlots,
+    servo_cmd: Optional[jax.Array] = None,
 ):
     """Assemble J, A, b, bounds for the padded boxed LCP."""
     nq = model.nq
@@ -202,6 +206,39 @@ def build_constraint_system(
         hi = jnp.concatenate([hi, hi_lim])
         fscale = jnp.concatenate([fscale, jnp.zeros(2 * len(Ld), dtype)])
 
+    if model.servo_dofs:
+        # Servo motors (ServoMotorConstraint): drive dof velocity to the
+        # commanded value with impulse bounded by the dof force limits.
+        s_idx = jnp.asarray(model.servo_dofs, dtype=jnp.int32)
+        Es = jax.nn.one_hot(s_idx, nq, dtype=dtype)
+        v_cmd = (
+            servo_cmd
+            if servo_cmd is not None
+            else jnp.zeros(len(model.servo_dofs), dtype=dtype)
+        )
+        J = jnp.concatenate([J, Es], axis=0)
+        b = jnp.concatenate([b, v_cmd - v_star[s_idx]])
+        lo = jnp.concatenate([lo, model.tau_lower[s_idx] * model.dt])
+        hi = jnp.concatenate([hi, model.tau_upper[s_idx] * model.dt])
+        fscale = jnp.concatenate(
+            [fscale, jnp.zeros(len(model.servo_dofs), dtype)]
+        )
+
+    if model.mimic:
+        # Mimic motors (MimicMotorConstraint): dof velocity tracks
+        # multiplier * reference dof velocity.
+        rows_m, b_m = [], []
+        for d, ref, mult, _off in model.mimic:
+            e = jnp.zeros(nq, dtype=dtype).at[d].set(1.0).at[ref].add(-mult)
+            rows_m.append(e)
+            b_m.append(-(v_star[d] - mult * v_star[ref]))
+        J = jnp.concatenate([J, jnp.stack(rows_m)], axis=0)
+        b = jnp.concatenate([b, jnp.stack(b_m)])
+        d_idx2 = jnp.asarray([m_[0] for m_ in model.mimic], dtype=jnp.int32)
+        lo = jnp.concatenate([lo, model.tau_lower[d_idx2] * model.dt])
+        hi = jnp.concatenate([hi, model.tau_upper[d_idx2] * model.dt])
+        fscale = jnp.concatenate([fscale, jnp.zeros(len(model.mimic), dtype)])
+
     Cd = coulomb_dofs(model)
     if Cd:
         # Joint Coulomb friction (JointCoulombFrictionConstraint): boxed
@@ -217,7 +254,8 @@ def build_constraint_system(
 
     M = dyn.mass_matrix(model, q, kin=kin)
     Minv_Jt = jnp.linalg.solve(M, J.T)          # (nq, m)
-    A = J @ Minv_Jt + CFM * jnp.eye(m, dtype=dtype)
+    m_total = J.shape[0]
+    A = J @ Minv_Jt + CFM * jnp.eye(m_total, dtype=dtype)
     return J, A, b, lo, hi, fscale, Minv_Jt
 
 
@@ -228,8 +266,10 @@ def contact_step(
     x_warm: Optional[jax.Array] = None,
     lcp_iters: Optional[int] = None,
     return_info: bool = False,
+    servo_cmd: Optional[jax.Array] = None,
 ):
-    """One differentiable constrained timestep."""
+    """One differentiable constrained timestep. `servo_cmd` carries the
+    velocity commands for `model.servo_dofs` (SERVO actuator type)."""
     q, v = state.q, state.v
     kin0 = dyn.forward_kinematics(model, q)
     qdd = dyn.aba(model, q, v, tau, kin=kin0)
@@ -251,7 +291,7 @@ def contact_step(
 
     contacts = detect_contacts(model, kin0.T_wb)
     J, A, b, lo, hi, fscale, Minv_Jt = build_constraint_system(
-        model, q, v_star, kin0, contacts
+        model, q, v_star, kin0, contacts, servo_cmd
     )
     if x_warm is None:
         x_warm = jnp.zeros(m, dtype=q.dtype)
