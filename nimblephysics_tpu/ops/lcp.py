@@ -186,7 +186,9 @@ def direct_boxed_solve(
     eye = jnp.eye(m, dtype=dtype)
 
     # class state: x_bound value for boundary rows; interior mask
-    interior = jnp.ones((m,), dtype=bool)
+    # (ones_like/zeros_like inherit shard_map varying-axes metadata from b —
+    # plain constants would break the scan carry under shard_map)
+    interior = jnp.ones_like(b) > 0.0
     x = jnp.zeros_like(b)
 
     def round_fn(carry, _):
