@@ -232,3 +232,45 @@ def test_marker_traces_and_swap_fixing():
     mask = np.ones((T, 2), dtype=bool)
     fixed = fix_marker_swaps(swapped, mask, max_jump=0.1)
     np.testing.assert_allclose(fixed, obs, atol=1e-12)
+
+
+def test_joint_center_estimation_gamage_lasenby():
+    from nimblephysics_tpu.biomechanics.ik_initializer import estimate_joint_center
+
+    rng = np.random.default_rng(7)
+    center = np.asarray([0.3, -0.1, 0.5])
+    trajs = []
+    for _ in range(4):
+        r = rng.uniform(0.2, 0.5)
+        # random directions on the sphere of radius r around the center
+        dirs = rng.standard_normal((50, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        trajs.append(center + r * dirs + rng.standard_normal((50, 3)) * 1e-4)
+    est = estimate_joint_center(trajs)
+    np.testing.assert_allclose(est, center, atol=1e-3)
+
+
+@pytest.mark.skipif(not os.path.isdir(C3D_DIR), reason="no reference data")
+def test_force_plates_from_real_c3d():
+    from nimblephysics_tpu.biomechanics.force_plates import extract_force_plates
+
+    found = False
+    for name in ("JA1Gait35.c3d", "S01DB201.c3d", "grf_test.c3d"):
+        path = os.path.join(C3D_DIR, name)
+        if not os.path.exists(path):
+            continue
+        f = load_c3d(path)
+        plates = extract_force_plates(f)
+        if not plates:
+            continue
+        found = True
+        for p in plates:
+            assert p.forces.shape[1] == 3
+            assert np.all(np.isfinite(p.forces))
+            assert p.corners.shape == (4, 3)
+        # gait trial: at least one plate was stepped on with a body-weight
+        # scale peak force (others legitimately read ~0)
+        peaks = [np.abs(p.forces).max() for p in plates]
+        assert 100.0 < max(peaks) < 5000.0, peaks
+        break
+    assert found, "no force-plate C3D fixture parsed"
