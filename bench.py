@@ -40,7 +40,9 @@ def main() -> None:
     nq, na = model.nq, model.num_actions
     H = 100
     B = int(os.environ.get("BENCH_BATCH", "1024"))
-    ITERS = 8
+    ITERS = int(os.environ.get("BENCH_ITERS", "8"))
+    N_ALPHA = int(os.environ.get("BENCH_ALPHAS", "6"))
+    ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)[:N_ALPHA]
 
     def running(x, u, t):
         return 0.1 * jnp.sum(x[:nq] ** 2) + 1e-3 * jnp.sum(u**2)
@@ -55,7 +57,7 @@ def main() -> None:
             u_warm,
             running,
             final,
-            ILQRConfig(iters=ITERS),
+            ILQRConfig(iters=ITERS, alphas=ALPHAS),
         )
         return sol.u, sol.cost
 

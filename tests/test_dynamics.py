@@ -210,3 +210,35 @@ def test_point_jacobian_fd():
 
     J_fd = fd_jacobian(point, np.asarray(Q0), eps=1e-7)
     np.testing.assert_allclose(Jp, J_fd, atol=1e-6)
+
+
+def test_domain_randomization_over_model_params():
+    """vmap over MODEL parameters (masses + gravity) — the reference's
+    WithRespectTo axes as batch axes for domain randomization."""
+    from nimblephysics_tpu.models import builders
+    from nimblephysics_tpu.models.model import State
+    from nimblephysics_tpu.simulation.step import rollout
+
+    model = builders.pendulum(2, dt=0.01)
+    B = 8
+    rng = np.random.default_rng(0)
+    masses = jnp.asarray(1.0 + 0.5 * rng.random((B, 2)))
+
+    def final_q(mass):
+        m2 = model.replace(mass=mass)
+        final, _ = rollout(
+            m2, State(jnp.asarray([0.5, -0.2]), jnp.zeros(2)),
+            jnp.zeros((50, 2)),
+        )
+        return final.q
+
+    qs = jax.jit(jax.vmap(final_q))(masses)
+    assert qs.shape == (B, 2)
+    assert np.all(np.isfinite(np.asarray(qs)))
+    # different masses -> different trajectories
+    assert np.std(np.asarray(qs)[:, 1]) > 1e-4
+
+    # gradient of a batched loss wrt all masses at once
+    g = jax.grad(lambda ms: jnp.sum(jax.vmap(final_q)(ms) ** 2))(masses)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.abs(np.asarray(g)).max() > 1e-6
