@@ -261,8 +261,12 @@ def _boxed_lcp_jvp(findex, iters, method, primals, tangents):
     rhs = cmask * (db - dA @ x)
     # Solve Qf dx_C = rhs robustly (reference uses a complete orthogonal
     # decomposition = pseudoinverse for degenerate Q, BackpropSnapshot.cpp:
-    # 2755) via regularized normal equations.
-    QtQ = Qf.T @ Qf + 1e-12 * jnp.eye(m, dtype=dtype)
+    # 2755) via regularized normal equations. The regularization must be
+    # scaled to the dtype AND to Q's magnitude: a fixed 1e-12 underflows in
+    # f32 and the normal equations square the conditioning.
+    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-5, dtype)
+    qscale = jnp.maximum(jnp.max(jnp.abs(Qf)), 1.0)
+    QtQ = Qf.T @ Qf + (eps * qscale * qscale) * jnp.eye(m, dtype=dtype)
     dx_C = jnp.linalg.solve(QtQ, Qf.T @ rhs)
     dx = R @ (cmask * dx_C)
     return x, dx
