@@ -76,13 +76,33 @@ def rollout(
     """Scan a horizon of controls: actions (T, num_actions).
 
     Returns (final_state, trajectory-of-States stacked on axis 0).
+
+    For constrained models the previous step's LCP solution is carried in
+    the scan as the next step's warm start — the reference's cached-LCP
+    warm starting (`World::getCachedLCPSolution` →
+    BoxedLcpConstraintSolver.cpp:422-458), which both speeds convergence
+    and keeps active-set classes temporally stable.
     """
+    from nimblephysics_tpu.ops.contact import contact_step, lcp_dim
 
-    def body(s, a):
-        s2 = step(model, s, a)
-        return s2, s2
+    m = lcp_dim(model)
+    if m == 0:
+        def body(s, a):
+            s2 = step(model, s, a)
+            return s2, s2
 
-    return jax.lax.scan(body, state0, actions)
+        return jax.lax.scan(body, state0, actions)
+
+    def body(carry, a):
+        s, x_prev = carry
+        s2, info = contact_step(
+            model, s, model.action_to_tau(a), x_warm=x_prev, return_info=True
+        )
+        return (s2, info.impulses), s2
+
+    x0 = jnp.zeros(m, dtype=state0.q.dtype) + 0.0 * state0.q[0]
+    (final, _), traj = jax.lax.scan(body, (state0, x0), actions)
+    return final, traj
 
 
 @partial(jax.jit, static_argnums=0)
