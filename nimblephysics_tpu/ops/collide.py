@@ -63,6 +63,8 @@ def _num_slots(kind_a: str, kind_b: str) -> int:
         ("sphere", "box"): 1,
         ("box", "box"): 16,
         ("capsule", "box"): 2,
+        ("capsule", "capsule"): 1,
+        ("sphere", "capsule"): 1,
     }
     return table.get(pair, 0)
 
@@ -168,6 +170,10 @@ def _narrow_phase(kind_a, kind_b, pa, pb, Ta: Transform, Tb: Transform):
         return _box_box(pa, pb, Ta, Tb)
     if (kind_a, kind_b) == ("capsule", "box"):
         return _capsule_box(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("capsule", "capsule"):
+        return _capsule_capsule(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "capsule"):
+        return _sphere_capsule(pa, pb, Ta, Tb)
     raise ValueError(f"unsupported pair {kind_a}/{kind_b}")
 
 
@@ -290,6 +296,55 @@ def _capsule_box(pa, pb, Ta, Tb):
         ns.append(n)
         ds.append(depth)
     return pts, ns, ds
+
+
+def _segment_closest_points(p1, d1, p2, d2):
+    """Closest points between segments p1+s*d1, p2+t*d2 with s,t in [0,1]
+    (clamped, branch-free)."""
+    r = p1 - p2
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    b = jnp.dot(d1, d2)
+    c = jnp.dot(d1, r)
+    f = jnp.dot(d2, r)
+    denom = jnp.maximum(a * e - b * b, 1e-12)
+    s = jnp.clip((b * f - c * e) / denom, 0.0, 1.0)
+    t = jnp.clip((b * s + f) / jnp.maximum(e, 1e-12), 0.0, 1.0)
+    s = jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    return p1 + s * d1, p2 + t * d2
+
+
+def _capsule_capsule(pa, pb, Ta, Tb):
+    ra, ha = pa[0], pa[1]
+    rb, hb = pb[0], pb[1]
+    za = Ta.rotate(jnp.asarray([0.0, 0.0, 1.0], dtype=pa.dtype))
+    zb = Tb.rotate(jnp.asarray([0.0, 0.0, 1.0], dtype=pb.dtype))
+    a0 = Ta.p - za * (ha / 2.0)
+    b0 = Tb.p - zb * (hb / 2.0)
+    ca, cb = _segment_closest_points(a0, za * ha, b0, zb * hb)
+    delta = ca - cb
+    dist = jnp.sqrt(jnp.maximum(jnp.dot(delta, delta), 1e-18))
+    n = delta / dist                                   # B -> A
+    depth = ra + rb - dist
+    point = cb + n * (rb - 0.5 * depth)
+    return [point], [n], [depth]
+
+
+def _sphere_capsule(pa, pb, Ta, Tb):
+    r_s = pa[0]
+    r_c, h_c = pb[0], pb[1]
+    zb = Tb.rotate(jnp.asarray([0.0, 0.0, 1.0], dtype=pb.dtype))
+    b0 = Tb.p - zb * (h_c / 2.0)
+    d = zb * h_c
+    t = jnp.clip(jnp.dot(Ta.p - b0, d) / jnp.maximum(jnp.dot(d, d), 1e-12),
+                 0.0, 1.0)
+    closest = b0 + t * d
+    delta = Ta.p - closest
+    dist = jnp.sqrt(jnp.maximum(jnp.dot(delta, delta), 1e-18))
+    n = delta / dist
+    depth = r_s + r_c - dist
+    point = closest + n * (r_c - 0.5 * depth)
+    return [point], [n], [depth]
 
 
 def _sphere_box(pa, pb, Ta, Tb):

@@ -161,3 +161,36 @@ class GUIRecording:
     def read(path: str) -> List[list]:
         with open(path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def write_standalone_html(self, path: str, fps: float = 50.0) -> None:
+        """Self-contained replay page (the `NimbleStandalone` role): the
+        recorded frames are embedded in the viewer html and played back on
+        a timer — share a single file to show a simulation."""
+        import os
+
+        viewer = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "web_gui", "index.html"
+        )
+        with open(viewer) as f:
+            html = f.read()
+        frames_js = (
+            "const RECORDED_FRAMES = ["
+            + ",".join(self.frames)
+            + f"];\nconst RECORDED_FPS = {fps};\n"
+            + """
+let __frame = 0;
+setInterval(() => {
+  if (__frame < RECORDED_FRAMES.length) {
+    RECORDED_FRAMES[__frame].forEach(handle);
+    __frame++;
+  } else { __frame = 0; }
+}, 1000.0 / RECORDED_FPS);
+"""
+        )
+        # replace the websocket hookup with the embedded playback loop
+        html = html.replace(
+            "const ws = new WebSocket(",
+            frames_js + "const ws = { readyState: 0 }; void (",
+        )
+        with open(path, "w") as f:
+            f.write(html)

@@ -218,3 +218,34 @@ def test_box_stacks_on_box():
     )()
     assert np.all(np.isfinite(np.asarray(final2.q)))
     assert float(final2.q[4]) > 0.05
+
+
+def test_capsule_capsule_contact():
+    """Two crossed capsules resting: closest-segment contact resolves."""
+    joints = [dict(type="free", name="c1", body_name="c1", parent=-1,
+                   mass=1.0, moment=np.eye(3) * 0.01)]
+    shapes = (
+        ShapeSpec(kind="capsule", body_index=0,
+                  offset=Transform(np.eye(3), np.zeros(3)),
+                  params=jnp.asarray([0.05, 0.4, 0.0, 0.0])),
+        # static horizontal capsule at the origin (rotated z->x)
+        ShapeSpec(kind="capsule", body_index=-1,
+                  offset=Transform(
+                      np.asarray([[0.0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]]),
+                      np.zeros(3)),
+                  params=jnp.asarray([0.05, 0.6, 0.0, 0.0])),
+        ShapeSpec(kind="halfspace", body_index=-1,
+                  offset=Transform(np.eye(3), np.zeros(3)),
+                  params=jnp.asarray([0.0, 1.0, 0.0, -1.0])),
+    )
+    model = build_model(joints, dt=0.002, shapes=shapes)
+    # falling capsule crosses the static one (perpendicular, above it)
+    q0 = jnp.zeros(6).at[0].set(np.pi / 2).at[4].set(0.3)  # rotate z->.. drop
+    s0 = State(q=q0, v=jnp.zeros(6))
+    final, traj = jax.jit(
+        lambda: rollout(model, s0, jnp.zeros((400, model.num_actions)))
+    )()
+    ys = np.asarray(traj.q[:, 4])
+    assert np.all(np.isfinite(ys))
+    # rests on the static capsule (2 radii above its axis) not the floor
+    assert ys[-1] > 0.05, ys[-1]

@@ -107,3 +107,25 @@ def test_websocket_roundtrip():
         c.close()
     finally:
         server.stop()
+
+
+def test_standalone_html_export(tmp_path):
+    from nimblephysics_tpu.models import builders
+    from nimblephysics_tpu.server.state_machine import GUIRecording, GUIStateMachine
+
+    model = builders.jump_worm()
+    gui = GUIStateMachine()
+    rec = GUIRecording()
+    import jax.numpy as jnp
+
+    from nimblephysics_tpu.models.model import State
+
+    for k in range(3):
+        gui.render_world(model, State(q=jnp.ones(4) * 0.1 * k, v=jnp.zeros(4)))
+        rec.record_frame(gui)
+    out = tmp_path / "replay.html"
+    rec.write_standalone_html(str(out))
+    html = out.read_text()
+    assert "RECORDED_FRAMES" in html
+    assert "create_box" in html
+    assert html.count("set_object_position") >= 2
