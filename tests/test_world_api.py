@@ -88,3 +88,30 @@ def test_performance_log():
     names = [c["name"] for c in replan["children"]]
     assert names == ["estimate", "solve"]
     assert "replan" in log.pretty()
+
+
+def test_height_and_lowest_point():
+    from nimblephysics_tpu.models import builders
+    from nimblephysics_tpu.utils.helpers import get_height, get_lowest_point
+
+    model = builders.jump_worm()
+    q = jnp.zeros(model.nq)
+    low = float(get_lowest_point(model, q))
+    h = float(get_height(model, q))
+    # worm root box half-extent 0.05 at origin
+    assert abs(low - (-0.05)) < 1e-9
+    assert abs(h - 0.1) < 1e-9
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/urdf/drchubo/drchubo.urdf"),
+    reason="no drchubo fixture",
+)
+def test_humanoid_urdf_smoke():
+    model, s0 = parse_urdf("/root/reference/data/urdf/drchubo/drchubo.urdf",
+                           root_joint="free")
+    assert model.nq > 20
+    from nimblephysics_tpu.ops import dynamics as dyn
+
+    M = dyn.mass_matrix(model, s0.q)
+    assert np.all(np.isfinite(np.asarray(M)))
