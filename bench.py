@@ -43,6 +43,7 @@ def main() -> None:
     ITERS = int(os.environ.get("BENCH_ITERS", "8"))
     N_ALPHA = int(os.environ.get("BENCH_ALPHAS", "6"))
     ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)[:N_ALPHA]
+    RICCATI = os.environ.get("BENCH_RICCATI", "sequential")
 
     def running(x, u, t):
         return 0.1 * jnp.sum(x[:nq] ** 2) + 1e-3 * jnp.sum(u**2)
@@ -57,7 +58,7 @@ def main() -> None:
             u_warm,
             running,
             final,
-            ILQRConfig(iters=ITERS, alphas=ALPHAS),
+            ILQRConfig(iters=ITERS, alphas=ALPHAS, riccati=RICCATI),
         )
         return sol.u, sol.cost
 

@@ -39,6 +39,18 @@ class ILQRConfig:
     reg_up: float = 8.0
     reg_down: float = 0.5
     alphas: tuple = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)
+    # Backward-pass algorithm:
+    #   "sequential": lax.scan Riccati recursion, Tassa-style Vxx
+    #     regularization (robust default; O(T) depth).
+    #   "parallel": associative-scan temporal parallelization of the LQR
+    #     backward pass (Särkkä & García-Fernández, "Temporal
+    #     Parallelization of Dynamic Programming and LQR",
+    #     arXiv:2104.03186) — O(log T) depth, with cost-side Levenberg
+    #     regularization (luu + reg·I) so the per-step conditional value
+    #     elements stay affine-quadratic. The fast path for long horizons
+    #     on TPU where the sequential scan's ~T tiny-matrix latency chain
+    #     dominates the solve.
+    riccati: str = "sequential"
 
 
 class ILQRSolution(NamedTuple):
@@ -48,6 +60,127 @@ class ILQRSolution(NamedTuple):
     cost_history: jax.Array
     K: jax.Array           # (T, na, 2nq) feedback gains (for MPC serving)
     k: jax.Array           # (T, na) feedforward terms
+
+
+def _gj_inv(D: jax.Array) -> jax.Array:
+    """Batched Gauss-Jordan inverse WITHOUT pivoting, unrolled over the
+    (static) matrix size.
+
+    `jnp.linalg.solve`/`inv` lower to LU with row pivoting, which XLA:TPU
+    implements as a serial loop with dynamic slices — catastrophic inside
+    an associative scan (measured 7x slower than the sequential Riccati).
+    The matrices inverted here are I + C·J with C, J PSD (eigenvalues of
+    C·J are real ≥ 0), so pivot-free elimination is stable. Each step is a
+    rank-1 broadcast update → pure fused elementwise work + MXU matmuls
+    outside."""
+    n = D.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=D.dtype), D.shape)
+    A = jnp.concatenate([D, eye], axis=-1)  # (..., n, 2n)
+    for k in range(n):
+        row = A[..., k, :] / A[..., k, k:k + 1]
+        A = A - A[..., :, k:k + 1] * row[..., None, :]
+        # the update zeroed row k too; restore the normalized pivot row
+        if A.ndim == 2:
+            A = A.at[k, :].set(row)
+        else:
+            A = A.at[..., k, :].set(row)
+    return A[..., :, n:]
+
+
+def _parallel_riccati(fx, fu, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
+    """O(log T)-depth LQR backward pass via `lax.associative_scan`.
+
+    Temporal parallelization of dynamic programming (Särkkä &
+    García-Fernández, arXiv:2104.03186): each timestep contributes a
+    conditional-value-function element `e_t = (A, b, C, eta, J)` encoding
+
+        exp(-V(x_t, x_{t+1})) ∝ N(x_{t+1}; A x_t + b, C) ·
+                                exp(eta^T x_t − ½ x_t^T J x_t)
+
+    for the one-step cost-to-go with the control minimized out. Elements
+    compose associatively (the same algebra as the parallel Kalman
+    smoother), so a reverse `associative_scan` yields every suffix element
+    [t, T] — whose (J, eta) ARE the Riccati value Hessian/linear term
+    S_t, v_t — in O(log T) sequential depth instead of the O(T) chain of
+    the classic recursion (reference: the per-step reverse sweep in
+    `BackpropSnapshot::backprop`, /root/reference/dart/neural/
+    BackpropSnapshot.cpp:121, chained over the horizon by
+    `SingleShot::backpropGradientWrt`).
+
+    Regularization is cost-side Levenberg (`luu + reg·I` baked into the
+    leaves) rather than the sequential path's Tassa state-regularization —
+    the elements must stay affine-quadratic for associativity to hold.
+    At reg → 0 both paths compute the identical exact Riccati solution
+    (tested in tests/test_trajectory.py).
+    """
+    T, nx, na = fu.shape[0], fx.shape[1], fu.shape[2]
+    dtype = fx.dtype
+    I_na = jnp.eye(na, dtype=dtype)
+    I_nx = jnp.eye(nx, dtype=dtype)
+
+    def leaf(fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t):
+        # Complete the square in u to eliminate the cross term lux:
+        #   u = ũ − U⁻¹(M x + r)  with  U = luu + reg·I, M = lux, r = lu
+        U = luu_t + reg * I_na
+        Ui = _gj_inv(U)                                    # SPD, pivot-free OK
+        UiM = Ui @ lux_t                                   # (na,nx)
+        Uir = Ui @ lu_t                                    # (na,)
+        UiLt = Ui @ fu_t.T                                 # (na,nx)
+        A = fx_t - fu_t @ UiM
+        b = -fu_t @ Uir
+        C = fu_t @ UiLt
+        J = lxx_t - lux_t.T @ UiM
+        eta = lux_t.T @ Uir - lx_t
+        return A, b, 0.5 * (C + C.T), eta, 0.5 * (J + J.T)
+
+    A, b, C, eta, J = jax.vmap(leaf)(fx, fu, lx, lu, lxx, luu, lux)
+    # Terminal element: pure cost, no transition.
+    zA = jnp.zeros((1, nx, nx), dtype=dtype)
+    elems = (
+        jnp.concatenate([A, zA], axis=0),
+        jnp.concatenate([b, -Vx_T[None] * 0.0], axis=0),
+        jnp.concatenate([C, zA], axis=0),
+        jnp.concatenate([eta, -Vx_T[None]], axis=0),
+        jnp.concatenate([J, Vxx_T[None]], axis=0),
+    )
+
+    def combine(e_later, e_earlier):
+        # Under `associative_scan(reverse=True)` the first argument is the
+        # suffix built from LATER timesteps: fn(a, b) with a = [j,k],
+        # b = [i,j] → combined spans [i,k].
+        A1, b1, C1, eta1, J1 = e_earlier
+        A2, b2, C2, eta2, J2 = e_later
+        Dinv = _gj_inv(I_nx + C1 @ J2)                      # (…,nx,nx)
+        A2D = A2 @ Dinv
+        A = A2D @ A1
+        b = (A2D @ (b1 + (C1 @ eta2[..., None])[..., 0])[..., None])[..., 0] + b2
+        C = A2D @ C1 @ jnp.swapaxes(A2, -1, -2) + C2
+        # (I + J2 C1)⁻¹ = D⁻ᵀ for symmetric C1, J2.
+        A1tDt = jnp.swapaxes(Dinv @ A1, -1, -2)
+        eta = (A1tDt @ (eta2[..., None] - J2 @ b1[..., None]))[..., 0] + eta1
+        J = A1tDt @ J2 @ A1 + J1
+        return (A, b, 0.5 * (C + jnp.swapaxes(C, -1, -2)), eta,
+                0.5 * (J + jnp.swapaxes(J, -1, -2)))
+
+    suffix = jax.lax.associative_scan(combine, elems, reverse=True)
+    # suffix[t] spans [t, T]: V_t(x) = ½ xᵀ S_t x − v_tᵀ x.
+    S = suffix[4][1:]                                       # (T,nx,nx) = S_{t+1}
+    v = suffix[3][1:]                                       # (T,nx)    = v_{t+1}
+
+    def gains(fx_t, fu_t, lu_t, luu_t, lux_t, S_n, v_n):
+        Quu = luu_t + reg * I_na + fu_t.T @ S_n @ fu_t
+        Qu = lu_t - fu_t.T @ v_n
+        Qux = lux_t + fu_t.T @ S_n @ fx_t
+        chol = jnp.linalg.cholesky(Quu)
+        ok = jnp.all(jnp.isfinite(chol))
+        Quu_inv = _gj_inv(Quu)
+        k_t = -(Quu_inv @ Qu)
+        K_t = -(Quu_inv @ Qux)
+        dv = jnp.array([k_t @ Qu, 0.5 * k_t @ (Quu @ k_t)])
+        return K_t, k_t, ok, dv
+
+    K, k, oks, dvs = jax.vmap(gains)(fx, fu, lu, luu, lux, S, v)
+    return K, k, jnp.sum(dvs, axis=0), jnp.all(oks)
 
 
 def _make_dyn(model: Model):
@@ -135,6 +268,10 @@ def ilqr_solve(
         lxx, luu, lux = cost_hess(xs[:-1], u)
         Vx_T = jax.grad(final_cost)(xs[-1])
         Vxx_T = jax.hessian(final_cost)(xs[-1])
+        if config.riccati == "parallel":
+            return _parallel_riccati(
+                fx, fu, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg
+            )
         # zeros_like keeps shard_map varying-axes metadata consistent with
         # the traced values (a plain jnp.zeros would be replicated and break
         # the scan carry under shard_map)
