@@ -39,6 +39,11 @@ JOINT_NDOF = {
     "euler_xyz": 3,
     "euler_zyx": 3,
     "free": 6,
+    # biomechanics joints (OpenSim shoulder/spine models)
+    "ellipsoid": 3,
+    "scapulathoracic": 4,
+    "constant_curve": 4,
+    "constant_curve_incompressible": 3,
 }
 
 # Collision shape kinds. Params layout per kind (all padded into a (4,) vector):
@@ -46,7 +51,10 @@ JOINT_NDOF = {
 #   sphere:   [r, 0, 0, 0]
 #   capsule:  [r, h, 0, 0]           axis = local z, h = cylinder length
 #   halfspace:[nx, ny, nz, offset]   plane n·x = offset (static geometry only)
-SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace")
+#   convex:   params unused; `vertices` (V,3) and `faces` (F,4 plane
+#             equations n·x + d <= 0 inside) carry the hull geometry
+#             (reference: mesh shapes through libccd, DARTCollide.hpp:42)
+SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace", "convex")
 
 
 @jax.tree_util.register_dataclass
@@ -64,6 +72,10 @@ class ShapeSpec:
     params: jax.Array = dataclasses.field(default_factory=lambda: jnp.zeros(4))
     friction: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(1.0))
     restitution: jax.Array = dataclasses.field(default_factory=lambda: jnp.asarray(0.0))
+    # convex hulls only: local-frame vertices (V,3) and face plane
+    # equations (F,4) with n·x + d <= 0 inside (scipy ConvexHull layout)
+    vertices: Any = None
+    faces: Any = None
 
 
 class State(NamedTuple):

@@ -51,6 +51,115 @@ def custom_joint_transform(q: jax.Array, spec) -> Transform:
     return Transform(R, p)
 
 
+_EULER_AXIS = {"x": 0, "y": 1, "z": 2}
+# +90°-about-Z conjugation frame used by the reference's ellipsoid-surface
+# joints (EllipsoidJoint.cpp:138-144: eulerR with (1,0)=-1, (0,1)=1, (2,2)=1)
+_R90Z = ((0.0, 1.0, 0.0), (-1.0, 0.0, 0.0), (0.0, 0.0, 1.0))
+
+
+def _euler_R(q: jax.Array, order: str, flip, dtype) -> jax.Array:
+    """R = Π_i Rot(axis_i, q_i·flip_i) in the given order (e.g. "xzy").
+
+    Reference: `EulerJoint::convertToTransform`
+    (/root/reference/dart/dynamics/EulerJoint.cpp:225)."""
+    eye = jnp.eye(3, dtype=dtype)
+    R = eye
+    for i, ax in enumerate(order):
+        R = R @ lie.expm_so3(eye[_EULER_AXIS[ax]] * (q[i] * flip[i]))
+    return R
+
+
+def ellipsoid_joint_transform(q: jax.Array, axes: jax.Array, spec) -> Transform:
+    """OpenSim-style EllipsoidJoint: an euler ball rotating a unit vector
+    onto an ellipsoid surface (translation = rotated ẑ ⊙ radii).
+
+    Reference: `EllipsoidJoint::getRelativeTransformStatic`
+    (/root/reference/dart/dynamics/EllipsoidJoint.cpp:165-196). radii live
+    in axes[0] (numeric, so scale-differentiable); (axis order, flip map)
+    are static metadata in `spec`."""
+    order, flip = spec
+    dtype = q.dtype
+    radii = axes[0]
+    E = jnp.asarray(_R90Z, dtype=dtype)
+    rot = E.T @ _euler_R(q[:3], order, flip, dtype) @ E
+    p = rot[:, 2] * radii  # rot @ ẑ, component-scaled to the ellipsoid
+    return Transform(rot, p)
+
+
+def scapulathoracic_joint_transform(
+    q: jax.Array, axes: jax.Array, spec
+) -> Transform:
+    """4-dof ScapulathoracicJoint: ellipsoid-surface euler ball (dofs 0-2)
+    composed with a "winging" rotation about an axis in the XY plane with
+    an offset origin (dof 3).
+
+    Reference: `ScapulathoracicJoint::updateRelativeTransform`
+    (/root/reference/dart/dynamics/ScapulathoracicJoint.cpp:154-199).
+    axes[0] = ellipsoid radii; axes[1,0:2] = winging axis XY origin;
+    axes[1,2] = winging axis direction angle."""
+    order, flip = spec
+    dtype = q.dtype
+    radii = axes[0]
+    wing_origin = jnp.concatenate([axes[1, :2], jnp.zeros(1, dtype=dtype)])
+    wing_angle = axes[1, 2]
+    E = jnp.asarray(_R90Z, dtype=dtype)
+    rot = E.T @ _euler_R(q[:3], order, flip, dtype) @ E
+    ball_p = rot[:, 2] * radii
+    wing_dir = jnp.stack(
+        [-jnp.sin(wing_angle), jnp.cos(wing_angle), jnp.zeros((), dtype)]
+    )
+    wing_R = lie.expm_so3(wing_dir * (q[3] * flip[3]))
+    # Trans(o) ∘ Rot ∘ Trans(−o): conjugate the winging rotation by its origin
+    wing_p = wing_origin - wing_R @ wing_origin
+    return Transform(rot @ wing_R, ball_p + rot @ wing_p)
+
+
+def constant_curve_transform(
+    q: jax.Array, axes: jax.Array, spec, incompressible: bool
+) -> Transform:
+    """Constant-curvature rod joint (spine models): an XZY euler rotation
+    whose translation follows a circular arc of arc-length d bent away from
+    vertical (+Y) by the rotation.
+
+    Reference: `ConstantCurveJoint::updateRelativeTransform`
+    (/root/reference/dart/dynamics/ConstantCurveJoint.cpp:105-152) and the
+    3-dof fixed-length variant
+    (ConstantCurveIncompressibleJoint.cpp:170-215). axes[0] = neutral
+    position (XZY angles); axes[1,0] = 4th neutral entry (4-dof) or rod
+    length (3-dof); axes[1,1] = child Y-scale."""
+    (flip,) = spec
+    dtype = q.dtype
+    scale_y = axes[1, 1]
+    if incompressible:
+        pos = q + axes[0]
+        d = axes[1, 0] * scale_y
+    else:
+        pos = q[:3] + axes[0]
+        d = (q[3] + axes[1, 0]) * scale_y
+    rot = _euler_R(pos, "xzy", flip, dtype)
+    cx, sx = jnp.cos(pos[0]), jnp.sin(pos[0])
+    cz, sz = jnp.cos(pos[1]), jnp.sin(pos[1])
+    linear_angle = jnp.stack([-sz, cx * cz, cz * sx])
+    sin_theta = jnp.sqrt(linear_angle[0] ** 2 + linear_angle[2] ** 2)
+    near_vertical = sin_theta < 1e-3
+    degenerate = near_vertical | (sin_theta > 0.999) if incompressible else near_vertical
+    # Straight-rod approximation used near the branch limits.
+    p_vert = rot @ (jnp.array([0.0, 1.0, 0.0], dtype=dtype) * d)
+    # Arc branch with eps-guarded denominators (jnp.where evaluates both
+    # branches under AD; the guards keep the unused branch NaN-free).
+    st_safe = jnp.clip(sin_theta, 1e-4, 1.0 - 1e-7)
+    theta = jnp.arcsin(st_safe)
+    r = d / theta
+    horizontal = r - r * jnp.cos(theta)
+    vertical = r * st_safe
+    p_arc = jnp.stack([
+        horizontal * (linear_angle[0] / st_safe),
+        vertical,
+        horizontal * (linear_angle[2] / st_safe),
+    ])
+    return Transform(rot, jnp.where(degenerate, p_vert, p_arc))
+
+
 def _subspace_via_autodiff(transform_fn, q: jax.Array) -> jax.Array:
     """Generic motion subspace: column j = (vee(Rᵀ ∂R/∂q_j); Rᵀ ∂p/∂q_j)."""
     Q = transform_fn(q)
@@ -114,6 +223,14 @@ def joint_transform(
         return Transform(lie.expm_so3(q[:3]), q[3:])
     if jtype == "custom":
         return custom_joint_transform(q, custom_spec)
+    if jtype == "ellipsoid":
+        return ellipsoid_joint_transform(q, axes, custom_spec)
+    if jtype == "scapulathoracic":
+        return scapulathoracic_joint_transform(q, axes, custom_spec)
+    if jtype == "constant_curve":
+        return constant_curve_transform(q, axes, custom_spec, False)
+    if jtype == "constant_curve_incompressible":
+        return constant_curve_transform(q, axes, custom_spec, True)
     raise ValueError(f"unknown joint type {jtype!r}")
 
 
@@ -184,6 +301,14 @@ def joint_subspace(
     if jtype == "custom":
         return _subspace_via_autodiff(
             lambda qq: custom_joint_transform(qq, custom_spec), q
+        )
+    if jtype in ("ellipsoid", "scapulathoracic", "constant_curve",
+                 "constant_curve_incompressible"):
+        # AD replaces the reference's ~7k LoC of hand-derived Jacobians
+        # (EllipsoidJoint.cpp:199+, ScapulathoracicJoint.cpp:202+,
+        # ConstantCurveJoint.cpp:154+) — FD-verified in tests.
+        return _subspace_via_autodiff(
+            lambda qq: joint_transform(jtype, qq, axes, custom_spec), q
         )
     raise ValueError(f"unknown joint type {jtype!r}")
 

@@ -115,6 +115,39 @@ _SIMPLE_JOINTS = {
 }
 
 
+def _parse_biomech_joint(tag, jelem):
+    """Shoulder/spine joint types (reference: OpenSimParser.cpp:5551-5663):
+    EllipsoidJoint (radii_x_y_z), ScapulothoracicJoint
+    (thoracic_ellipsoid_radii_x_y_z + winging axis), ConstantCurvatureJoint
+    (length + neutral_angle_x_z_y → fixed-length constant-curvature rod).
+    Returns (jtype, axes rows, static spec, default q) or None."""
+
+    def txt(tag_, n=3, default=None):
+        el = jelem.find(tag_)
+        return _vec(el.text, n) if el is not None else default
+
+    if tag == "EllipsoidJoint":
+        radii = txt("radii_x_y_z", 3, np.ones(3))
+        return "ellipsoid", [radii], ("xyz", (1.0, 1.0, 1.0)), None
+    if tag == "ScapulothoracicJoint":
+        radii = txt("thoracic_ellipsoid_radii_x_y_z", 3, np.ones(3))
+        off = txt("scapula_winging_axis_origin", 2, np.zeros(2))
+        dir_el = jelem.find("scapula_winging_axis_direction")
+        direction = float(dir_el.text) if dir_el is not None else 0.0
+        axes = [radii, [off[0], off[1], direction]]
+        return "scapulathoracic", axes, ("xyz", (1.0, 1.0, 1.0, 1.0)), None
+    if tag == "ConstantCurvatureJoint":
+        length_el = jelem.find("length")
+        length = float(length_el.text) if length_el is not None else 1.0
+        neutral = txt("neutral_angle_x_z_y", 3, np.zeros(3))
+        axes = [neutral, [length, 1.0, 0.0]]
+        # the reference also sets the joint positions to the neutral angles
+        # on load (OpenSimParser.cpp:5657-5660)
+        return ("constant_curve_incompressible", axes, ((1.0, 1.0, 1.0),),
+                list(neutral))
+    return None
+
+
 def parse_osim(path: str, dtype=None, ignore_joint_types: Tuple[str, ...] = ()
                ) -> Tuple[Model, State, MarkerSet]:
     """Load an OpenSim model (v3 30000-family or v4 40000) ->
@@ -209,6 +242,7 @@ def parse_osim(path: str, dtype=None, ignore_joint_types: Tuple[str, ...] = ()
 
             tag = jelem.tag
             spec, axes = None, None
+            forced_defaults = None
             if tag in ignore_joint_types or tag == "WeldJoint":
                 jtype = "weld"
                 coords_meta = []
@@ -234,18 +268,20 @@ def parse_osim(path: str, dtype=None, ignore_joint_types: Tuple[str, ...] = ()
                     [c["name"] for c in coords_meta],
                 )
             else:
-                raise ValueError(f"unsupported OpenSim joint {tag!r}")
+                biome = _parse_biomech_joint(tag, jelem)
+                if biome is None:
+                    raise ValueError(f"unsupported OpenSim joint {tag!r}")
+                jtype, axes, spec, forced_defaults = biome
 
-        nd = spec[0] if jtype == "custom" else {
-            "weld": 0, "revolute": 1, "prismatic": 1, "universal": 2,
-            "ball": 3, "free": 6,
-        }[jtype]
+        nd = spec[0] if jtype == "custom" else JOINT_NDOF_OSIM[jtype]
         lo = [c["lo"] if c.get("clamped") else -np.inf for c in coords_meta]
         hi = [c["hi"] if c.get("clamped") else np.inf for c in coords_meta]
         defaults = [c["default"] for c in coords_meta]
         lo = (lo + [-np.inf] * nd)[:nd]
         hi = (hi + [np.inf] * nd)[:nd]
         defaults = (defaults + [0.0] * nd)[:nd]
+        if jelem is not None and forced_defaults is not None:
+            defaults = (list(forced_defaults) + [0.0] * nd)[:nd]
 
         gidx = len(joints_out)
         body_index[bname] = gidx
@@ -439,6 +475,7 @@ def _parse_osim_v4(model_el, dtype, ignore_joint_types):
                     ))
 
             spec, axes = None, None
+            forced_defaults = None
             if tag in ignore_joint_types or tag == "WeldJoint":
                 jtype = "weld"
                 coords_meta = []
@@ -451,12 +488,17 @@ def _parse_osim_v4(model_el, dtype, ignore_joint_types):
             elif tag in _SIMPLE_JOINTS:
                 jtype, axes = _SIMPLE_JOINTS[tag]
             else:
-                raise ValueError(f"unsupported OpenSim joint {tag!r}")
+                biome = _parse_biomech_joint(tag, jelem)
+                if biome is None:
+                    raise ValueError(f"unsupported OpenSim joint {tag!r}")
+                jtype, axes, spec, forced_defaults = biome
 
             nd = spec[0] if jtype == "custom" else JOINT_NDOF_OSIM[jtype]
             lo = [c["lo"] if c.get("clamped") else -np.inf for c in coords_meta]
             hi = [c["hi"] if c.get("clamped") else np.inf for c in coords_meta]
             defaults = [c["default"] for c in coords_meta]
+            if forced_defaults is not None:
+                defaults = list(forced_defaults)
             lo = (lo + [-np.inf] * nd)[:nd]
             hi = (hi + [np.inf] * nd)[:nd]
             defaults = (defaults + [0.0] * nd)[:nd]
@@ -517,4 +559,6 @@ def _parse_osim_v4(model_el, dtype, ignore_joint_types):
 JOINT_NDOF_OSIM = {
     "weld": 0, "revolute": 1, "prismatic": 1, "universal": 2,
     "ball": 3, "free": 6,
+    "ellipsoid": 3, "scapulathoracic": 4,
+    "constant_curve": 4, "constant_curve_incompressible": 3,
 }

@@ -242,3 +242,130 @@ def test_domain_randomization_over_model_params():
     g = jax.grad(lambda ms: jnp.sum(jax.vmap(final_q)(ms) ** 2))(masses)
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.abs(np.asarray(g)).max() > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Biomechanics joints (EllipsoidJoint / ScapulathoracicJoint / ConstantCurve)
+# ---------------------------------------------------------------------------
+
+def _biomech_chain():
+    """Chain exercising all four OpenSim biomech joint types."""
+    joints = [
+        dict(type="ellipsoid", name="ej", body_name="bb0", parent=-1,
+             axes=[[0.07, 0.05, 0.09], [0, 0, 0]],
+             custom_spec=("xyz", (1.0, 1.0, 1.0)),
+             mass=1.2, moment=np.diag([0.02, 0.03, 0.025])),
+        dict(type="scapulathoracic", name="sj", body_name="bb1", parent=0,
+             axes=[[0.08, 0.06, 0.1], [0.01, -0.02, 0.3]],
+             custom_spec=("xyz", (1.0, 1.0, 1.0, 1.0)),
+             mass=0.7, com=[0.02, 0.01, 0.0], moment=np.eye(3) * 0.01),
+        dict(type="constant_curve", name="cj", body_name="bb2", parent=1,
+             axes=[[0.01, -0.02, 0.03], [0.2, 1.0, 0.0]],
+             custom_spec=((1.0, 1.0, 1.0),),
+             mass=0.9, moment=np.eye(3) * 0.015),
+        dict(type="constant_curve_incompressible", name="ci", body_name="bb3",
+             parent=2, axes=[[0.02, 0.01, -0.01], [0.25, 1.0, 0.0]],
+             custom_spec=((1.0, 1.0, 1.0),),
+             mass=0.5, moment=np.eye(3) * 0.008),
+    ]
+    return build_model(joints, dt=0.002)
+
+
+def test_biomech_joint_subspaces_match_fd():
+    """S columns must equal (vee(Rᵀ∂R/∂qj); Rᵀ∂p/∂qj) by FD — the reference
+    hand-derives these (EllipsoidJoint.cpp:199+, ScapulathoracicJoint.cpp:202+,
+    ConstantCurveJoint.cpp:154+); we AD them, FD is the impartial judge."""
+    from nimblephysics_tpu.ops import joints as J
+
+    cases = [
+        ("ellipsoid", 3, np.asarray([[0.07, 0.05, 0.09], [0, 0, 0], [0, 0, 0]]),
+         ("xyz", (1.0, 1.0, 1.0))),
+        ("scapulathoracic", 4,
+         np.asarray([[0.08, 0.06, 0.1], [0.01, -0.02, 0.3], [0, 0, 0]]),
+         ("xyz", (1.0, -1.0, 1.0, 1.0))),
+        ("constant_curve", 4,
+         np.asarray([[0.01, -0.02, 0.03], [0.2, 1.0, 0.0], [0, 0, 0]]),
+         ((1.0, 1.0, 1.0),)),
+        ("constant_curve_incompressible", 3,
+         np.asarray([[0.02, 0.01, -0.01], [0.25, 1.0, 0.0], [0, 0, 0]]),
+         ((1.0, 1.0, 1.0),)),
+    ]
+    for jtype, nd, axes, spec in cases:
+        q = RNG.standard_normal(nd) * 0.4
+        axes_j = jnp.asarray(axes)
+
+        def tf(qq):
+            T = J.joint_transform(jtype, jnp.asarray(qq), axes_j, spec)
+            return np.concatenate([np.asarray(T.R).ravel(), np.asarray(T.p)])
+
+        S = np.asarray(J.joint_subspace(jtype, jnp.asarray(q), axes_j, spec))
+        fd = fd_jacobian(tf, q, eps=1e-6)
+        T0 = J.joint_transform(jtype, jnp.asarray(q), axes_j, spec)
+        R0 = np.asarray(T0.R)
+        for j in range(nd):
+            dR = fd[:9, j].reshape(3, 3)
+            dp = fd[9:, j]
+            w = np.asarray(lie.vee(jnp.asarray(R0.T @ dR)))
+            np.testing.assert_allclose(S[:3, j], w, atol=2e-4, err_msg=jtype)
+            np.testing.assert_allclose(S[3:, j], R0.T @ dp, atol=2e-4,
+                                       err_msg=jtype)
+
+
+def test_biomech_joint_transform_geometry():
+    """Pin the transforms to their geometric definitions."""
+    from nimblephysics_tpu.ops import joints as J
+
+    radii = jnp.asarray([0.07, 0.05, 0.09])
+    axes = jnp.zeros((3, 3)).at[0].set(radii)
+    q = jnp.asarray([0.3, -0.2, 0.4])
+    T = J.joint_transform("ellipsoid", q, axes, ("xyz", (1.0, 1.0, 1.0)))
+    # translation lies ON the ellipsoid surface
+    assert abs(float(jnp.sum((T.p / radii) ** 2)) - 1.0) < 1e-5
+    # scapulathoracic with zero winging == ellipsoid
+    axes_s = axes.at[1].set(jnp.asarray([0.01, -0.02, 0.3]))
+    Ts = J.joint_transform("scapulathoracic", jnp.concatenate([q, jnp.zeros(1)]),
+                           axes_s, ("xyz", (1.0, 1.0, 1.0, 1.0)))
+    np.testing.assert_allclose(np.asarray(Ts.R), np.asarray(T.R), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ts.p), np.asarray(T.p), atol=1e-6)
+    # constant curve at zero angles: straight rod of length d along +Y
+    axes_c = jnp.zeros((3, 3)).at[1].set(jnp.asarray([0.0, 1.0, 0.0]))
+    Tc = J.joint_transform("constant_curve", jnp.asarray([0.0, 0.0, 0.0, 0.3]),
+                           axes_c, ((1.0, 1.0, 1.0),))
+    np.testing.assert_allclose(np.asarray(Tc.p), [0.0, 0.3, 0.0], atol=1e-5)
+    # bent rod: arc length preserved would mean |p| < d, p_y > 0
+    Tb = J.joint_transform("constant_curve", jnp.asarray([0.5, 0.2, 0.0, 0.3]),
+                           axes_c, ((1.0, 1.0, 1.0),))
+    assert float(jnp.linalg.norm(Tb.p)) < 0.3
+    assert float(Tb.p[1]) > 0.0
+
+
+def test_biomech_chain_dynamics_consistency():
+    """ABA == M⁻¹(τ − C) and the step is differentiable through the whole
+    biomech-joint chain."""
+    from nimblephysics_tpu.models.model import State
+    from nimblephysics_tpu.simulation.step import step
+
+    model = _biomech_chain()
+    nq = model.nq
+    assert nq == 3 + 4 + 4 + 3
+    q = jnp.asarray(RNG.standard_normal(nq) * 0.3)
+    v = jnp.asarray(RNG.standard_normal(nq) * 0.5)
+    tau = jnp.asarray(RNG.standard_normal(nq))
+
+    a_aba = dyn.aba(model, q, v, tau)
+    M = dyn.mass_matrix(model, q)
+    C = dyn.coriolis_and_gravity(model, q, v)
+    a_ref = jnp.linalg.solve(M, tau - C)
+    np.testing.assert_allclose(np.asarray(a_aba), np.asarray(a_ref),
+                               rtol=2e-3, atol=2e-4)
+    # M is SPD
+    w = np.linalg.eigvalsh(np.asarray(M))
+    assert w.min() > 0
+
+    # differentiable step (grad wrt q of a rollout-ish loss is finite)
+    def loss(q0):
+        s = step(model, State(q0, v), tau)
+        return jnp.sum(s.q ** 2) + jnp.sum(s.v ** 2)
+
+    g = jax.grad(loss)(q)
+    assert np.all(np.isfinite(np.asarray(g)))

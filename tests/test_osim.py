@@ -128,3 +128,36 @@ def test_parse_osim_v4():
         "/root/reference/data/osim/welk002/unscaled_generic.osim"
     )
     _check_human_model(model, s0, markers, min_markers=50)
+
+
+def test_scapula_model_loads_and_simulates():
+    from nimblephysics_tpu.utils.osim_parser import parse_osim
+
+    """ScapulothoracicJoint (v3 file): the shoulder model loads with the
+    4-dof scapulathoracic joint and its dynamics are consistent."""
+    path = "/root/reference/data/osim/ScapulaModel/ScapulothoracicJoint_Shoulder.osim"
+    if not os.path.exists(path):
+        pytest.skip("scapula model not present")
+    model, state, _ = parse_osim(path)
+    assert "scapulathoracic" in model.joint_types
+    nq = model.nq
+    M = dyn.mass_matrix(model, state.q)
+    assert np.linalg.eigvalsh(np.asarray(M)).min() > 0
+    a = dyn.aba(model, state.q, state.v, jnp.zeros(nq))
+    assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_complete_human_model_loads():
+    from nimblephysics_tpu.utils.osim_parser import parse_osim
+
+    """CompleteHumanModel (v4): EllipsoidJoint + ConstantCurvatureJoint
+    (spine) + CustomJoints all in one skeleton."""
+    path = ("/root/reference/data/osim/CompleteHumanModel/"
+            "CompleteHumanModel.osim")
+    if not os.path.exists(path):
+        pytest.skip("complete human model not present")
+    model, state, _ = parse_osim(path)
+    assert "ellipsoid" in model.joint_types
+    assert "constant_curve_incompressible" in model.joint_types
+    a = dyn.aba(model, state.q, state.v, jnp.zeros(model.nq))
+    assert np.all(np.isfinite(np.asarray(a)))
