@@ -65,6 +65,10 @@ def _num_slots(kind_a: str, kind_b: str) -> int:
         ("capsule", "box"): 2,
         ("capsule", "capsule"): 1,
         ("sphere", "capsule"): 1,
+        ("convex", "halfspace"): 6,
+        ("sphere", "convex"): 1,
+        ("convex", "convex"): 8,
+        ("convex", "box"): 8,
     }
     return table.get(pair, 0)
 
@@ -126,7 +130,7 @@ def detect_contacts(model: Model, T_wb: List[Transform]) -> ContactSlots:
         Tb = _shape_world_transform(model, sb, T_wb)
         mu = jnp.sqrt(jnp.clip(sa.friction * sb.friction, 0.0))
         e = jnp.maximum(sa.restitution, sb.restitution)
-        ps, ns, ds = _narrow_phase(sa.kind, sb.kind, sa.params, sb.params, Ta, Tb)
+        ps, ns, ds = _narrow_phase(sa, sb, Ta, Tb)
         for k in range(n):
             points.append(ps[k])
             normals.append(ns[k])
@@ -154,8 +158,9 @@ def detect_contacts(model: Model, T_wb: List[Transform]) -> ContactSlots:
     )
 
 
-def _narrow_phase(kind_a, kind_b, pa, pb, Ta: Transform, Tb: Transform):
+def _narrow_phase(sa: ShapeSpec, sb: ShapeSpec, Ta: Transform, Tb: Transform):
     """Dispatch on (static) kinds; returns lists of (point, normal, depth)."""
+    kind_a, kind_b, pa, pb = sa.kind, sb.kind, sa.params, sb.params
     if (kind_a, kind_b) == ("sphere", "halfspace"):
         return _sphere_halfspace(pa, pb, Ta, Tb)
     if (kind_a, kind_b) == ("box", "halfspace"):
@@ -174,6 +179,14 @@ def _narrow_phase(kind_a, kind_b, pa, pb, Ta: Transform, Tb: Transform):
         return _capsule_capsule(pa, pb, Ta, Tb)
     if (kind_a, kind_b) == ("sphere", "capsule"):
         return _sphere_capsule(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("convex", "halfspace"):
+        return _convex_halfspace(sa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "convex"):
+        return _sphere_convex(pa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("convex", "convex"):
+        return _convex_convex(sa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("convex", "box"):
+        return _convex_box(sa, pb, Ta, Tb)
     raise ValueError(f"unsupported pair {kind_a}/{kind_b}")
 
 
@@ -360,3 +373,135 @@ def _sphere_box(pa, pb, Ta, Tb):
     n = Tb.rotate(n_local)
     point = Tb.apply(closest)
     return [point], [n], [depth]
+
+
+# ---------------------------------------------------------------------------
+# Convex hulls (mesh shapes). Reference: convex meshes through libccd GJK/MPR
+# (`DARTCollide.hpp:42,295-302`). The TPU formulation replaces pivoting GJK
+# with fixed-shape tensor tests over the hull's (V,3) vertex and (F,4) face
+# tables (see utils/mesh.py): vertex-vs-hull depth is a (V x F) matrix op,
+# sphere projection is a fixed-iteration Frank-Wolfe — all differentiable.
+# ---------------------------------------------------------------------------
+
+
+def _apply_batch(T: Transform, pts: jax.Array) -> jax.Array:
+    return pts @ T.R.T + T.p
+
+
+def _topk_slots(depths, points, normals, k):
+    """Select the k deepest candidate slots (values differentiable through
+    the gather; index switches mirror the reference's discrete contact-set
+    changes)."""
+    vals, idx = jax.lax.top_k(depths, k)
+    return (
+        [points[idx[i]] for i in range(k)],
+        [normals[idx[i]] for i in range(k)],
+        [vals[i] for i in range(k)],
+    )
+
+
+def _vertices_in_hull(v_local: jax.Array, faces: jax.Array):
+    """Depth & outward face normal for each point vs a hull, in hull frame.
+    faces: (F,4) with n·x + d <= 0 inside. depth > 0 means inside; when
+    outside, depth = −(max violation) so top_k still ranks correctly."""
+    s = v_local @ faces[:, :3].T + faces[:, 3]         # (V,F), <=0 inside
+    worst = jnp.max(s, axis=1)                          # (V,)
+    kf = jnp.argmax(s, axis=1)
+    return -worst, faces[kf, :3]
+
+
+def _convex_halfspace(sa, pb, Ta, Tb):
+    """Top-6 deepest hull vertices vs the plane."""
+    n, d = _halfspace_world(pb, Tb)
+    v_w = _apply_batch(Ta, jnp.asarray(sa.vertices, dtype=Ta.p.dtype))
+    depths = d - v_w @ n                                # (V,)
+    ns = jnp.broadcast_to(n, v_w.shape)
+    return _topk_slots(depths, v_w, ns, 6)
+
+
+def _sphere_convex(pa, sb, Ta, Tb):
+    """Sphere (A) vs hull (B): project the center onto the hull with a
+    fixed-iteration Frank-Wolfe over the vertex polytope (support calls are
+    one (V,3)·(3,) matvec each); deep-inside case falls back to the closest
+    face plane."""
+    r = pa[0]
+    verts = jnp.asarray(sb.vertices, dtype=Ta.p.dtype)  # hull-local (V,3)
+    faces = jnp.asarray(sb.faces, dtype=Ta.p.dtype)
+    c = Tb.inverse().apply(Ta.p)
+
+    def fw(x, _):
+        g = c - x
+        s = verts[jnp.argmax(verts @ g)]
+        dx = s - x
+        gamma = jnp.clip(
+            jnp.dot(g, dx) / jnp.maximum(jnp.dot(dx, dx), 1e-12), 0.0, 1.0
+        )
+        return x + gamma * dx, None
+
+    x0 = jnp.mean(verts, axis=0)
+    x, _ = jax.lax.scan(fw, x0, None, length=32)
+    s_face = faces[:, :3] @ c + faces[:, 3]             # signed plane dists
+    s_max = jnp.max(s_face)
+    kf = jnp.argmax(s_face)
+    n_f = faces[kf, :3]                                 # outward face normal
+    inside = s_max <= 0.0
+    # Face-region exact answer: the foot point of the most-violated plane —
+    # exact whenever that foot lies in the hull. FW converges slowly exactly
+    # there (face-interior optima) but fast at vertices/edges, so use the
+    # foot when valid, the FW point otherwise.
+    foot = c - n_f * s_max
+    foot_ok = jnp.max(faces[:, :3] @ foot + faces[:, 3]) <= 1e-9
+    x = jnp.where(foot_ok, foot, x)
+    delta = c - x
+    dist = jnp.sqrt(jnp.maximum(jnp.dot(delta, delta), 1e-18))
+    n_local = jnp.where(inside, n_f, delta / dist)
+    depth = jnp.where(inside, r - s_max, r - dist)
+    surf = jnp.where(inside, foot, x)
+    n_w = Tb.rotate(n_local)                            # B -> A
+    return [Tb.apply(surf)], [n_w], [depth]
+
+
+def _convex_convex(sa, sb, Ta, Tb):
+    """Vertex-in-hull both directions, 4 deepest each way (the convex
+    analogue of `_box_box`; edge-edge crossings resolve through vertex
+    contacts a step later, as documented there)."""
+    dtype = Ta.p.dtype
+    va = jnp.asarray(sa.vertices, dtype=dtype)
+    vb = jnp.asarray(sb.vertices, dtype=dtype)
+    fa = jnp.asarray(sa.faces, dtype=dtype)
+    fb = jnp.asarray(sb.faces, dtype=dtype)
+    Tab = Tb.inverse().compose(Ta)                      # A-local -> B-local
+    Tba = Ta.inverse().compose(Tb)
+    # A's vertices against hull B
+    va_in_b = _apply_batch(Tab, va)
+    d_a, n_a_local = _vertices_in_hull(va_in_b, fb)
+    pts_a = _apply_batch(Tb, va_in_b)
+    ns_a = n_a_local @ Tb.R.T                           # outward of B = B->A
+    p1, n1, dd1 = _topk_slots(d_a, pts_a, ns_a, 4)
+    # B's vertices against hull A
+    vb_in_a = _apply_batch(Tba, vb)
+    d_b, n_b_local = _vertices_in_hull(vb_in_a, fa)
+    pts_b = _apply_batch(Ta, vb_in_a)
+    ns_b = -(n_b_local @ Ta.R.T)                        # push B along −outward(A)
+    p2, n2, dd2 = _topk_slots(d_b, pts_b, ns_b, 4)
+    return p1 + p2, n1 + n2, dd1 + dd2
+
+
+def _convex_box(sa, pb, Ta, Tb):
+    """Hull (A) vertices in box (B) + box corners in hull (A), 4+4 slots."""
+    dtype = Ta.p.dtype
+    va = jnp.asarray(sa.vertices, dtype=dtype)
+    fa = jnp.asarray(sa.faces, dtype=dtype)
+    half_b = pb[:3] / 2.0
+    # hull verts vs box
+    v_w = _apply_batch(Ta, va)
+    d_a, n_a = jax.vmap(lambda v: _vertex_in_box(v, half_b, Tb))(v_w)
+    p1, n1, dd1 = _topk_slots(d_a, v_w, n_a, 4)
+    # box corners vs hull
+    cb = _box_corners(pb)
+    cb_w = _apply_batch(Tb, cb)
+    cb_a = _apply_batch(Ta.inverse(), cb_w)
+    d_b, n_b_local = _vertices_in_hull(cb_a, fa)
+    ns_b = -(n_b_local @ Ta.R.T)
+    p2, n2, dd2 = _topk_slots(d_b, cb_w, ns_b, 4)
+    return p1 + p2, n1 + n2, dd1 + dd2

@@ -4,9 +4,9 @@ Supports the subset the reference's benchmark robots need (KR5, cartpole
 urdf, atlas-like arms): links with <inertial> (origin xyz/rpy, mass, full
 inertia tensor rotated into the link frame), joints fixed/revolute/
 continuous/prismatic/floating/planar with <origin>, <axis>, <dynamics>,
-<limit>, and primitive collision geometry (box/sphere/cylinder≈capsule).
-Mesh geometry is accepted but produces no collision shapes (the reference
-routes meshes through assimp+libccd; TPU-side mesh contact is out of scope
+<limit>, and collision geometry: box/sphere/cylinder≈capsule primitives
+plus mesh files (obj/stl), which become decimated convex hulls
+(utils/mesh.py; the reference routes meshes through assimp+libccd
 for the benchmark configs).
 
 URDF frame semantics: a joint's <origin> is the pose of the child link (=
@@ -53,21 +53,62 @@ _TYPE_MAP = {
 }
 
 
-def _geometry(geom: Optional[ET.Element]):
+def _resolve_mesh_path(uri: str, base_dir: str) -> Optional[str]:
+    """file://, package://pkg/..., or relative path -> existing file path.
+    Mirrors the reference's resource-retriever fallbacks
+    (dart/utils/urdf/DartLoader URI resolution)."""
+    candidates = []
+    if uri.startswith("package://"):
+        rest = uri[len("package://"):]
+        # try with and without the package-name prefix, walking up from the
+        # urdf's directory
+        parts = rest.split("/", 1)
+        d = base_dir
+        for _ in range(6):
+            candidates.append(os.path.join(d, rest))
+            if len(parts) == 2:
+                candidates.append(os.path.join(d, parts[1]))
+            d = os.path.dirname(d)
+    elif uri.startswith("file://"):
+        candidates.append(uri[len("file://"):])
+    else:
+        candidates.append(os.path.join(base_dir, uri))
+        candidates.append(uri)
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def _geometry(geom: Optional[ET.Element], base_dir: str = ""):
+    """-> (kind, params, vertices, faces) or None."""
     if geom is None:
         return None
     for child in geom:
         if child.tag == "box":
             size = np.asarray([float(x) for x in child.get("size").split()])
-            return "box", np.asarray([size[0], size[1], size[2], 0.0])
+            return "box", np.asarray([size[0], size[1], size[2], 0.0]), None, None
         if child.tag == "sphere":
             r = float(child.get("radius"))
-            return "sphere", np.asarray([r, 0.0, 0.0, 0.0])
+            return "sphere", np.asarray([r, 0.0, 0.0, 0.0]), None, None
         if child.tag in ("cylinder", "capsule"):
             r = float(child.get("radius"))
             h = float(child.get("length", child.get("height", "0")))
-            return "capsule", np.asarray([r, h, 0.0, 0.0])
-    return None  # mesh etc.
+            return "capsule", np.asarray([r, h, 0.0, 0.0]), None, None
+        if child.tag == "mesh":
+            path = _resolve_mesh_path(child.get("filename", ""), base_dir)
+            if path is None:
+                return None
+            scale = np.asarray(
+                [float(x) for x in child.get("scale", "1 1 1").split()]
+            )
+            try:
+                from nimblephysics_tpu.utils.mesh import load_collision_hull
+                verts, faces = load_collision_hull(path, scale=scale)
+            except (ValueError, OSError):
+                return None
+            return "convex", np.zeros(4), verts, faces
+    return None
 
 
 def parse_urdf(
@@ -84,6 +125,7 @@ def parse_urdf(
     """
     tree = ET.parse(path)
     robot = tree.getroot()
+    base_dir = os.path.dirname(os.path.abspath(path))
 
     links = {}
     for link in robot.findall("link"):
@@ -184,16 +226,18 @@ def parse_urdf(
         )
 
         for col in link.findall("collision"):
-            parsed = _geometry(col.find("geometry"))
+            parsed = _geometry(col.find("geometry"), base_dir)
             if parsed is None:
                 continue
-            kind, params = parsed
+            kind, params, verts, faces = parsed
             Rs, ps = _origin(col.find("origin"))
             shapes_out.append(
                 ShapeSpec(
                     kind=kind, body_index=gidx,
                     offset=Transform(jnp.asarray(Rs), jnp.asarray(ps)),
                     params=jnp.asarray(params),
+                    vertices=jnp.asarray(verts) if verts is not None else None,
+                    faces=jnp.asarray(faces) if faces is not None else None,
                 )
             )
 

@@ -91,3 +91,31 @@ def test_smoothers_reduce_roughness():
     sv = np.asarray(velocity_minimizing_smoother(jnp.asarray(noisy), 5.0))
     vel = lambda x: np.diff(x, 1, axis=0)
     assert np.abs(vel(sv)).sum() < np.abs(vel(noisy)).sum()
+
+
+def test_lemke_solves_random_psd_lcps_and_matches_pgs():
+    """Standalone Lemke solver (role parity: dart/lcpsolver/Lemke.cpp) —
+    complementarity on random PSD LCPs, agreement with the production PGS
+    solver on the same problems."""
+    from nimblephysics_tpu.ops.lcp import pgs_solve
+    from nimblephysics_tpu.ops.lemke import lemke
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n = int(rng.integers(1, 9))
+        A = rng.standard_normal((n, n))
+        M = A @ A.T + 0.1 * np.eye(n)
+        q = rng.standard_normal(n)
+        z, status = lemke(M, q)
+        w = M @ z + q
+        assert status == 0
+        assert z.min() >= -1e-8 and w.min() >= -1e-7
+        assert abs(z @ w) < 1e-6
+        # PGS (boxed with [0, inf) bounds) must find the same solution of
+        # the strictly monotone LCP
+        inf = jnp.full(n, jnp.inf)
+        z_pgs = pgs_solve(
+            jnp.asarray(M), jnp.asarray(-q), jnp.zeros(n), inf,
+            jnp.ones(n), jnp.zeros(n), tuple([-1] * n), iters=400,
+        )
+        np.testing.assert_allclose(np.asarray(z_pgs), z, atol=5e-4)
