@@ -52,6 +52,7 @@ def fit_inertia(
     qdds: jax.Array,   # (T, nq)
     root_dofs: Sequence[int],
     taus: Optional[jax.Array] = None,   # (T, nq) known applied forces
+    wrenches: Optional[jax.Array] = None,  # (T, nb, 6) body-frame ext wrenches
     iters: int = 400,
     lr: float = 2e-2,
     fit_coms: bool = True,
@@ -66,8 +67,11 @@ def fit_inertia(
         d_com=jnp.zeros_like(model.com),
     )
 
-    def residual_frame(m2, q, v, qdd, tau_known):
-        tau = dyn.rnea(m2, q, v, qdd)
+    def residual_frame(m2, q, v, qdd, tau_known, w=None):
+        f_ext = (
+            [w[i] for i in range(m2.num_bodies)] if w is not None else None
+        )
+        tau = dyn.rnea(m2, q, v, qdd, f_ext=f_ext)
         r = tau[root_idx]
         if tau_known is not None:
             r = r - tau_known[root_idx]
@@ -78,19 +82,29 @@ def fit_inertia(
             mass=jnp.exp(params["log_mass"]),
             com=model.com + (params["d_com"] if fit_coms else 0.0),
         )
-        if taus is not None:
-            res = jax.vmap(lambda q, v, a, t: residual_frame(m2, q, v, a, t))(
-                qs, vs, qdds, taus
-            )
-        else:
-            res = jax.vmap(lambda q, v, a: residual_frame(m2, q, v, a, None))(
-                qs, vs, qdds
-            )
+        res = _residuals(m2)
         reg = regularize * (
             jnp.mean((params["log_mass"] - jnp.log(model.mass)) ** 2)
             + jnp.mean(params["d_com"] ** 2)
         )
         return jnp.mean(res * res) + reg
+
+    def _residuals(m2):
+        if taus is not None and wrenches is not None:
+            return jax.vmap(
+                lambda q, v, a, t, w: residual_frame(m2, q, v, a, t, w)
+            )(qs, vs, qdds, taus, wrenches)
+        if taus is not None:
+            return jax.vmap(
+                lambda q, v, a, t: residual_frame(m2, q, v, a, t)
+            )(qs, vs, qdds, taus)
+        if wrenches is not None:
+            return jax.vmap(
+                lambda q, v, a, w: residual_frame(m2, q, v, a, None, w)
+            )(qs, vs, qdds, wrenches)
+        return jax.vmap(lambda q, v, a: residual_frame(m2, q, v, a, None))(
+            qs, vs, qdds
+        )
 
     opt = optax.adam(lr)
 
@@ -106,17 +120,330 @@ def fit_inertia(
     masses = jnp.exp(params["log_mass"])
     coms = model.com + (params["d_com"] if fit_coms else 0.0)
     m2 = model.replace(mass=masses, com=coms)
-    if taus is not None:
-        res = jax.vmap(lambda q, v, a, t: residual_frame(m2, q, v, a, t))(
-            qs, vs, qdds, taus
-        )
-    else:
-        res = jax.vmap(lambda q, v, a: residual_frame(m2, q, v, a, None))(
-            qs, vs, qdds
-        )
+    res = _residuals(m2)
     return InertiaFitResult(
         masses=masses,
         coms=coms,
         loss_history=hist,
         final_residual_rms=jnp.sqrt(jnp.mean(res * res)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-stage residual-elimination pipeline
+# (reference: DynamicsFitter.hpp:1334-1500 — estimateFootGroundContacts,
+#  zeroLinearResidualsOnCOMTrajectory, zeroLinearResidualsAndOptimizeAngular,
+#  timeSyncTrialGRF, timeSyncAndInitializePipeline)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from nimblephysics_tpu.ops import lie
+
+
+def body_wrench_from_world_force(T_wb, F_w, p_w, M_w=None):
+    """World force F at world point p (+free moment M) -> body-frame spatial
+    force (torque; force) on the body whose world pose is T_wb."""
+    tau_w = jnp.cross(p_w - T_wb.p, F_w) + (0.0 if M_w is None else M_w)
+    Rt = T_wb.R.T
+    return jnp.concatenate([Rt @ tau_w, Rt @ F_w])
+
+
+def com_trajectory(model: Model, qs: jax.Array) -> jax.Array:
+    """(T,3) whole-body COM for each frame."""
+    def one(q):
+        kin = dyn.forward_kinematics(model, q)
+        return dyn.com_position(model, kin)
+    return jax.vmap(one)(qs)
+
+
+class LinearResidualFit(NamedTuple):
+    mass_scale: jax.Array     # total-mass multiplier solved in closed form
+    qs: jax.Array             # poses with the COM-consistent root translation
+    com_target: jax.Array     # (T,3) the force-implied COM trajectory
+    residual_before: jax.Array
+    residual_after: jax.Array
+
+
+def zero_linear_residuals(
+    model: Model,
+    qs: jax.Array,            # (T, nq)
+    total_force: jax.Array,   # (T, 3) summed external (ground) force, world N
+    root_trans_dofs: Sequence[int],
+    fit_mass: bool = True,
+) -> LinearResidualFit:
+    """Closed-form stage 1 of the reference pipeline
+    (`zeroLinearResidualsOnCOMTrajectory`, DynamicsFitter.hpp:1400): the COM
+    must satisfy m·(p̈ − g) = ΣF, so the force-implied COM trajectory is
+    p(t) = p0 + v0·t + (1/m)·𝕀𝕀[F](t) + 𝕀𝕀[g](t) — LINEAR in (p0, v0, 1/m).
+    One least-squares solve fits all three to the kinematic COM, then the
+    root translation is shifted so the model's COM rides the implied
+    trajectory exactly and all masses are scaled by the solved total mass."""
+    T = qs.shape[0]
+    dtype = qs.dtype
+    dt = jnp.asarray(model.dt, dtype=dtype)
+    p_kin = com_trajectory(model, qs)                       # (T,3)
+    m0 = jnp.sum(model.mass)
+
+    def double_integral(a):   # semi-implicit: v+=a dt; p+=v dt
+        v = jnp.cumsum(a, axis=0) * dt
+        return jnp.concatenate(
+            [jnp.zeros((1, 3), dtype=dtype), jnp.cumsum(v, axis=0)[:-1] * dt]
+        )
+
+    II_F = double_integral(total_force)                     # x (1/m)
+    II_g = double_integral(jnp.broadcast_to(model.gravity, (T, 3)).astype(dtype))
+    tgrid = jnp.arange(T, dtype=dtype) * dt
+
+    # unknowns x = [p0(3), v0(3), alpha=1/m]; rows = 3T
+    ones = jnp.ones(T, dtype=dtype)
+    zeros = jnp.zeros(T, dtype=dtype)
+    rows = []
+    rhs = []
+    for ax in range(3):
+        cols = [ones if k == ax else zeros for k in range(3)]
+        cols += [tgrid if k == ax else zeros for k in range(3)]
+        cols += [II_F[:, ax]]
+        rows.append(jnp.stack(cols, axis=1))                # (T,7)
+        rhs.append(p_kin[:, ax] - II_g[:, ax])
+    A = jnp.concatenate(rows, axis=0)                       # (3T,7)
+    b = jnp.concatenate(rhs, axis=0)
+    if fit_mass:
+        x, *_ = jnp.linalg.lstsq(A, b)
+    else:
+        alpha0 = 1.0 / m0
+        x6, *_ = jnp.linalg.lstsq(A[:, :6], b - A[:, 6] * alpha0)
+        x = jnp.concatenate([x6, alpha0[None]])
+    p0, v0, alpha = x[:3], x[3:6], x[6]
+    p_implied = (
+        p0[None, :] + tgrid[:, None] * v0[None, :] + alpha * II_F + II_g
+    )
+    delta = p_implied - p_kin                               # world shift per frame
+
+    # push the shift through the root joint's translation dofs (accounting
+    # for the root joint frame orientation)
+    idx = jnp.asarray(tuple(root_trans_dofs), dtype=jnp.int32)
+    R_pj = model.T_pj.R[0]
+    delta_q = delta @ R_pj                                  # = R_pjᵀ · delta row-wise
+    qs_new = qs.at[:, idx].add(delta_q.astype(dtype))
+
+    def lin_res(q_traj, mscale):
+        p = com_trajectory(model, q_traj)
+        acc = (p[2:] - 2 * p[1:-1] + p[:-2]) / dt**2
+        return (m0 * mscale) * (acc - model.gravity[None, :]) - total_force[1:-1]
+
+    mass_scale = 1.0 / (alpha * m0)
+    return LinearResidualFit(
+        mass_scale=mass_scale,
+        qs=qs_new,
+        com_target=p_implied,
+        residual_before=jnp.sqrt(jnp.mean(lin_res(qs, 1.0) ** 2)),
+        residual_after=jnp.sqrt(jnp.mean(lin_res(qs_new, mass_scale) ** 2)),
+    )
+
+
+def _fd_derivatives(qs, dt):
+    """Central-difference velocities/accelerations over a pose trajectory."""
+    v = (qs[2:] - qs[:-2]) / (2 * dt)
+    a = (qs[2:] - 2 * qs[1:-1] + qs[:-2]) / dt**2
+    return qs[1:-1], v, a
+
+
+def optimize_angular_residuals(
+    model: Model,
+    qs: jax.Array,                 # (T, nq)
+    wrenches: jax.Array,           # (T, nb, 6) body-frame external wrenches
+    root_dofs: Sequence[int],      # root ROTATION dofs to adjust
+    all_root_dofs: Sequence[int],  # full root (residual rows to score)
+    iters: int = 150,
+    lr: float = 2e-3,
+    regularize: float = 10.0,
+):
+    """Stage 2 (`zeroLinearResidualsAndOptimizeAngular`): gradient-optimize
+    the root-rotation trajectory so the RNEA root residuals (computed with
+    the measured external wrenches applied) vanish, regularized toward the
+    kinematic fit. One jitted Adam solve; FD velocities/accelerations keep
+    it parity with the reference's discrete formulation."""
+    dtype = qs.dtype
+    dt = jnp.asarray(model.dt, dtype=dtype)
+    rot_idx = jnp.asarray(tuple(root_dofs), dtype=jnp.int32)
+    res_idx = jnp.asarray(tuple(all_root_dofs), dtype=jnp.int32)
+    nb = model.num_bodies
+
+    def residuals(q_traj):
+        qm, vm, am = _fd_derivatives(q_traj, dt)
+        wm = wrenches[1:-1]
+
+        def frame(q, v, a, w):
+            f_ext = [w[i] for i in range(nb)]
+            tau = dyn.rnea(model, q, v, a, f_ext=f_ext)
+            return tau[res_idx]
+
+        return jax.vmap(frame)(qm, vm, am, wm)
+
+    def loss(dq):
+        q_traj = qs.at[:, rot_idx].add(dq)
+        r = residuals(q_traj)
+        return jnp.mean(r * r) + regularize * jnp.mean(dq * dq)
+
+    opt = optax.adam(lr)
+    dq0 = jnp.zeros((qs.shape[0], len(tuple(root_dofs))), dtype=dtype)
+
+    def body(carry, _):
+        p, s = carry
+        val, g = jax.value_and_grad(loss)(p)
+        up, s = opt.update(g, s, p)
+        return (optax.apply_updates(p, up), s), val
+
+    (dq, _), hist = jax.lax.scan(body, (dq0, opt.init(dq0)), None, length=iters)
+    qs_new = qs.at[:, rot_idx].add(dq)
+    r = residuals(qs_new)
+    return qs_new, jnp.sqrt(jnp.mean(r * r)), hist
+
+
+def estimate_foot_ground_contacts(
+    model: Model,
+    qs: jax.Array,
+    plates,                        # list[ForcePlate]
+    foot_bodies: Sequence[int],
+    force_threshold: float = 10.0,
+):
+    """Per-frame assignment of force plates to feet
+    (`estimateFootGroundContacts`, DynamicsFitter.hpp:1334): a plate with
+    |F| over threshold is assigned to the foot whose body origin is nearest
+    its COP. Returns body-frame wrench array (T, nb, 6) + (T, n_feet) mask."""
+    T = qs.shape[0]
+    nb = model.num_bodies
+    feet = tuple(foot_bodies)
+
+    def foot_pos(q):
+        kin = dyn.forward_kinematics(model, q)
+        return jnp.stack([kin.T_wb[f].p for f in feet])     # (n_feet,3)
+
+    fp = jax.vmap(foot_pos)(qs)                             # (T,n_feet,3)
+    fp_np = np.asarray(fp)
+
+    mask = np.zeros((T, len(feet)), dtype=bool)
+
+    # host-side assignment (discrete), then body-frame wrench accumulation
+    # through jitted FK per frame chunk
+    def wrench_frame(q, F, cop, M, foot_sel):
+        kin = dyn.forward_kinematics(model, q)
+        out = jnp.zeros((nb, 6), dtype=q.dtype)
+        for k, f in enumerate(feet):
+            w = body_wrench_from_world_force(kin.T_wb[f], F[k], cop[k], M[k])
+            out = out.at[f].add(w * foot_sel[k])
+        return out
+
+    Fk = np.zeros((T, len(feet), 3))
+    Ck = np.zeros((T, len(feet), 3))
+    Mk = np.zeros((T, len(feet), 3))
+    for p in plates:
+        n = min(T, p.forces.shape[0])
+        active = np.linalg.norm(p.forces[:n], axis=1) > force_threshold
+        d = np.linalg.norm(fp_np[:n] - p.cop[:n, None, :], axis=2)
+        nearest = np.argmin(d, axis=1)
+        for t in np.nonzero(active)[0]:
+            k = nearest[t]
+            Fk[t, k] += p.forces[t]
+            Ck[t, k] = p.cop[t]
+            mask[t, k] = True
+
+    sel = jnp.asarray(mask, dtype=qs.dtype)
+    w = jax.vmap(wrench_frame)(
+        qs, jnp.asarray(Fk, dtype=qs.dtype), jnp.asarray(Ck, dtype=qs.dtype),
+        jnp.asarray(Mk, dtype=qs.dtype), sel,
+    )
+    return w, jnp.asarray(mask)
+
+
+class DynamicsReport(NamedTuple):
+    qs: jax.Array
+    masses: jax.Array
+    coms: jax.Array
+    mass_scale: jax.Array
+    linear_residual_before: jax.Array
+    linear_residual_after: jax.Array
+    angular_residual_after: jax.Array
+    inertia_residual_rms: jax.Array
+    grf_shift: int
+
+
+def time_sync_grf(
+    model, qs, total_force, root_trans_dofs, max_shift: int = 4
+):
+    """`timeSyncTrialGRF`: slide the GRF stream ±max_shift frames against
+    the kinematics, score each by the post-linear-fit residual, keep the
+    best shift."""
+    best = (None, np.inf)
+    solve = jax.jit(
+        lambda f: zero_linear_residuals(model, qs, f, root_trans_dofs)
+    )
+    for s in range(-max_shift, max_shift + 1):
+        f = jnp.roll(total_force, s, axis=0)
+        fit = solve(f)
+        score = float(fit.residual_after)
+        if score < best[1]:
+            best = (s, score)
+    return best[0]
+
+
+def run_dynamics_pipeline(
+    model: Model,
+    qs: jax.Array,
+    plates,
+    foot_bodies: Sequence[int],
+    root_trans_dofs: Sequence[int],
+    root_rot_dofs: Sequence[int],
+    shift_grf: bool = False,
+    angular_iters: int = 150,
+    inertia_iters: int = 300,
+) -> Tuple[Model, DynamicsReport]:
+    """`timeSyncAndInitializePipeline` (DynamicsFitter.hpp:1461): contacts →
+    (optional GRF time sync) → closed-form linear residual zeroing → angular
+    residual optimization → per-body mass/COM fit. Returns the updated model
+    and a staged report."""
+    dtype = qs.dtype
+    T = qs.shape[0]
+    total_force = jnp.zeros((T, 3), dtype=dtype)
+    for p in plates:
+        n = min(T, p.forces.shape[0])
+        total_force = total_force.at[:n].add(jnp.asarray(p.forces[:n], dtype=dtype))
+
+    shift = 0
+    if shift_grf:
+        shift = time_sync_grf(model, qs, total_force, root_trans_dofs)
+        total_force = jnp.roll(total_force, shift, axis=0)
+
+    lin = jax.jit(
+        lambda: zero_linear_residuals(model, qs, total_force, root_trans_dofs)
+    )()
+    model1 = model.replace(mass=model.mass * lin.mass_scale)
+
+    wrenches, _ = estimate_foot_ground_contacts(
+        model1, lin.qs, plates, foot_bodies
+    )
+    all_root = tuple(root_rot_dofs) + tuple(root_trans_dofs)
+    qs2, ang_res, _ = jax.jit(
+        lambda: optimize_angular_residuals(
+            model1, lin.qs, wrenches, root_rot_dofs, all_root,
+            iters=angular_iters,
+        )
+    )()
+
+    qm, vm, am = _fd_derivatives(qs2, jnp.asarray(model.dt, dtype=dtype))
+    fit = jax.jit(
+        lambda: fit_inertia(model1, qm, vm, am, all_root,
+                            wrenches=wrenches[1:-1], iters=inertia_iters)
+    )()
+    model2 = model1.replace(mass=fit.masses, com=fit.coms)
+    report = DynamicsReport(
+        qs=qs2, masses=fit.masses, coms=fit.coms,
+        mass_scale=lin.mass_scale,
+        linear_residual_before=lin.residual_before,
+        linear_residual_after=lin.residual_after,
+        angular_residual_after=ang_res,
+        inertia_residual_rms=fit.final_residual_rms,
+        grf_shift=shift,
+    )
+    return model2, report

@@ -274,3 +274,94 @@ def test_force_plates_from_real_c3d():
         assert 100.0 < max(peaks) < 5000.0, peaks
         break
     assert found, "no force-plate C3D fixture parsed"
+
+
+def test_zero_linear_residuals_closed_form():
+    """Stage-1 residual elimination: given a force stream and a COM
+    trajectory that is physically consistent with mass m*, but a model whose
+    mass is wrong and whose root translation drifts, the closed-form solve
+    must recover the mass ratio and drive linear residuals to ~0."""
+    from nimblephysics_tpu.biomechanics.dynamics_fitter import (
+        zero_linear_residuals,
+    )
+    from nimblephysics_tpu.models.model import build_model
+
+    true_mass = 62.0
+    dt = 0.01
+    T = 120
+    joints = [dict(type="free", name="root", body_name="pelvis", parent=-1,
+                   mass=true_mass * 0.8,   # model 20% light
+                   moment=np.eye(3) * 1.0)]
+    model = build_model(joints, dt=dt, gravity=[0.0, -9.81, 0.0])
+
+    rng = np.random.default_rng(3)
+    t = np.arange(T) * dt
+    # ground force: support + wiggle
+    F = np.stack([
+        20 * np.sin(2 * np.pi * 1.3 * t),
+        true_mass * 9.81 + 80 * np.sin(2 * np.pi * 0.9 * t),
+        10 * np.cos(2 * np.pi * 1.7 * t),
+    ], axis=1)
+    # integrate the TRUE COM trajectory with the same semi-implicit scheme
+    p = np.zeros((T, 3)); v = np.zeros(3); pos = np.asarray([0.1, 1.0, -0.05])
+    vel = np.asarray([0.3, 0.0, 0.1])
+    g = np.asarray([0.0, -9.81, 0.0])
+    for k in range(T):
+        p[k] = pos
+        a = F[k] / true_mass + g
+        vel = vel + a * dt
+        pos = pos + vel * dt
+    qs = np.zeros((T, 6))
+    qs[:, 3:] = p + rng.standard_normal((T, 3)) * 1e-4   # tiny marker noise
+    fit = jax.jit(lambda: zero_linear_residuals(
+        model, jnp.asarray(qs), jnp.asarray(F), (3, 4, 5)))()
+    # recovers the true total mass (model says 0.8 m*, data says m*)
+    assert abs(float(fit.mass_scale) - 1.25) < 0.05, float(fit.mass_scale)
+    assert float(fit.residual_after) < 0.2 * float(fit.residual_before)
+
+
+def test_full_dynamics_pipeline_runs():
+    """timeSyncAndInitializePipeline analogue end-to-end on synthetic data:
+    plates -> contact assignment -> linear zeroing -> angular optimize ->
+    mass/COM fit, residuals reported at each stage."""
+    from nimblephysics_tpu.biomechanics.dynamics_fitter import (
+        run_dynamics_pipeline,
+    )
+    from nimblephysics_tpu.biomechanics.force_plates import ForcePlate
+    from nimblephysics_tpu.models.model import build_model
+
+    true_mass, dt, T = 55.0, 0.01, 80
+    joints = [dict(type="free", name="root", body_name="pelvis", parent=-1,
+                   mass=true_mass * 0.9, moment=np.eye(3) * 1.2)]
+    model = build_model(joints, dt=dt, gravity=[0.0, -9.81, 0.0])
+
+    t = np.arange(T) * dt
+    F = np.stack([
+        15 * np.sin(2 * np.pi * t),
+        true_mass * 9.81 + 50 * np.sin(2 * np.pi * 0.7 * t),
+        np.zeros(T),
+    ], axis=1)
+    p = np.zeros((T, 3)); pos = np.asarray([0.0, 0.95, 0.0]); vel = np.zeros(3)
+    g = np.asarray([0.0, -9.81, 0.0])
+    for k in range(T):
+        p[k] = pos
+        vel = vel + (F[k] / true_mass + g) * dt
+        pos = pos + vel * dt
+    qs = np.zeros((T, 6)); qs[:, 3:] = p
+    cop = np.zeros((T, 3)); cop[:, 0] = p[:, 0]  # under the body
+    plate = ForcePlate(
+        corners=np.asarray([[1, 0, 1], [-1, 0, 1], [-1, 0, -1], [1, 0, -1]],
+                           dtype=float),
+        origin=np.zeros(3), forces=F, moments=np.zeros((T, 3)), cop=cop,
+    )
+    m2, report = run_dynamics_pipeline(
+        model, jnp.asarray(qs), [plate], foot_bodies=(0,),
+        root_trans_dofs=(3, 4, 5), root_rot_dofs=(0, 1, 2),
+        angular_iters=60, inertia_iters=120,
+    )
+    assert abs(float(jnp.sum(m2.mass)) - true_mass) / true_mass < 0.1
+    assert float(report.linear_residual_after) < float(
+        report.linear_residual_before
+    )
+    assert np.isfinite(float(report.angular_residual_after))
+    assert np.isfinite(float(report.inertia_residual_rms))
