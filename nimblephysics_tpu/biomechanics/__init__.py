@@ -23,3 +23,14 @@ from nimblephysics_tpu.biomechanics.subject_on_disk import (  # noqa: F401
     SubjectOnDisk,
     write_subject,
 )
+from nimblephysics_tpu.biomechanics.marker_mocap import (  # noqa: F401
+    MarkerMocap,
+    MarkerMocapResult,
+)
+from nimblephysics_tpu.biomechanics.dynamics_fitter import (  # noqa: F401
+    run_dynamics_pipeline,
+    zero_linear_residuals,
+    estimate_foot_ground_contacts,
+    fit_inertia,
+    root_residuals,
+)

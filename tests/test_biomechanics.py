@@ -365,3 +365,26 @@ def test_full_dynamics_pipeline_runs():
     )
     assert np.isfinite(float(report.angular_residual_after))
     assert np.isfinite(float(report.inertia_residual_rms))
+
+
+def test_marker_mocap_real_trc_pipeline():
+    """MarkerMocap end-to-end on REAL data: the LaiArnold generic model fit
+    to the subject's walking trial .trc (the runKinematicsPipeline flow).
+    With a short fit the marker RMSE must land in the usable range the
+    reference targets (~cm scale)."""
+    base = "/root/reference/data/osim/LaiArnoldSubject6"
+    osim = f"{base}/LaiArnoldModified2017_poly_withArms_weldHand_generic.osim"
+    trc = f"{base}/walking1.trc"
+    if not (os.path.exists(osim) and os.path.exists(trc)):
+        pytest.skip("LaiArnold subject not present")
+    from nimblephysics_tpu.biomechanics import MarkerMocap
+
+    mocap = MarkerMocap.from_osim(osim)
+    result = mocap.fit_trc(trc, max_frames=8, stride=12, iters=400)
+    assert result.report.root_mean_squared_error < 0.1, (
+        result.report.root_mean_squared_error
+    )
+    assert result.poses.shape[0] == 8
+    # scales stay anatomical
+    s = np.asarray(result.scales)
+    assert s.min() > 0.6 and s.max() < 1.5
