@@ -34,3 +34,11 @@ from nimblephysics_tpu.biomechanics.dynamics_fitter import (  # noqa: F401
     fit_inertia,
     root_residuals,
 )
+from nimblephysics_tpu.biomechanics.lilypad import (  # noqa: F401
+    LilypadCell,
+    LilypadSolver,
+)
+from nimblephysics_tpu.biomechanics.batch_gait_id import (  # noqa: F401
+    batch_gait_inverse_dynamics,
+    GaitInverseDynamicsResult,
+)

@@ -54,7 +54,9 @@ JOINT_NDOF = {
 #   convex:   params unused; `vertices` (V,3) and `faces` (F,4 plane
 #             equations n·x + d <= 0 inside) carry the hull geometry
 #             (reference: mesh shapes through libccd, DARTCollide.hpp:42)
-SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace", "convex")
+#   heightmap: params [x0, z0, dx, dz]; `vertices` holds the (H,W) height
+#             grid (+y up in the shape frame; static terrain)
+SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace", "convex", "heightmap")
 
 
 @jax.tree_util.register_dataclass

@@ -69,6 +69,10 @@ def _num_slots(kind_a: str, kind_b: str) -> int:
         ("sphere", "convex"): 1,
         ("convex", "convex"): 8,
         ("convex", "box"): 8,
+        ("sphere", "heightmap"): 1,
+        ("box", "heightmap"): 8,
+        ("capsule", "heightmap"): 2,
+        ("convex", "heightmap"): 6,
     }
     return table.get(pair, 0)
 
@@ -187,6 +191,14 @@ def _narrow_phase(sa: ShapeSpec, sb: ShapeSpec, Ta: Transform, Tb: Transform):
         return _convex_convex(sa, sb, Ta, Tb)
     if (kind_a, kind_b) == ("convex", "box"):
         return _convex_box(sa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "heightmap"):
+        return _sphere_heightmap(pa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("box", "heightmap"):
+        return _box_heightmap(pa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("capsule", "heightmap"):
+        return _capsule_heightmap(pa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("convex", "heightmap"):
+        return _convex_heightmap(sa, sb, Ta, Tb)
     raise ValueError(f"unsupported pair {kind_a}/{kind_b}")
 
 
@@ -505,3 +517,90 @@ def _convex_box(sa, pb, Ta, Tb):
     ns_b = -(n_b_local @ Ta.R.T)
     p2, n2, dd2 = _topk_slots(d_b, cb_w, ns_b, 4)
     return p1 + p2, n1 + n2, dd1 + dd2
+
+
+# ---------------------------------------------------------------------------
+# Heightmap terrain. The reference carries `HeightmapShape`
+# (dart/dynamics/HeightmapShape.hpp) as geometry but its DART narrow-phase
+# never implemented contact for it (upstream used fcl, removed in the fork);
+# here heightmap contact is first-class and differentiable: bilinear height
+# sampling + AD surface normals. Shape data: `vertices` holds the (H, W)
+# height grid, params = [x0, z0, dx, dz] (grid origin/spacing, +y up, in the
+# shape frame).
+# ---------------------------------------------------------------------------
+
+
+def _heightmap_height(hm: jax.Array, params: jax.Array, x, z):
+    """Bilinearly interpolated height at local (x, z), edge-clamped."""
+    H, W = hm.shape
+    fx = (x - params[0]) / params[2]
+    fz = (z - params[1]) / params[3]
+    fx = jnp.clip(fx, 0.0, W - 1.001)
+    fz = jnp.clip(fz, 0.0, H - 1.001)
+    i0 = jnp.floor(fz).astype(jnp.int32)
+    j0 = jnp.floor(fx).astype(jnp.int32)
+    tz = fz - i0
+    tx = fx - j0
+    h00 = hm[i0, j0]
+    h01 = hm[i0, j0 + 1]
+    h10 = hm[i0 + 1, j0]
+    h11 = hm[i0 + 1, j0 + 1]
+    return (
+        h00 * (1 - tz) * (1 - tx) + h01 * (1 - tz) * tx
+        + h10 * tz * (1 - tx) + h11 * tz * tx
+    )
+
+
+def _point_heightmap(v_w: jax.Array, sb, Tb: Transform):
+    """(depth, world normal pointing OUT of the terrain) for a world point."""
+    hm = jnp.asarray(sb.vertices, dtype=v_w.dtype)
+    local = Tb.inverse().apply(v_w)
+
+    def h_at(xz):
+        return _heightmap_height(hm, sb.params, xz[0], xz[1])
+
+    xz = jnp.stack([local[0], local[2]])
+    h, dh = jax.value_and_grad(h_at)(xz)
+    depth = h - local[1]
+    n_local = jnp.stack([-dh[0], jnp.ones((), v_w.dtype), -dh[1]])
+    n_local = n_local / jnp.linalg.norm(n_local)
+    return depth, Tb.rotate(n_local)
+
+
+def _sphere_heightmap(pa, sb, Ta, Tb):
+    r = pa[0]
+    depth_c, n = _point_heightmap(Ta.p, sb, Tb)
+    depth = depth_c + r             # center depth + radius
+    point = Ta.p - n * (r - 0.5 * depth)
+    return [point], [n], [depth]
+
+
+def _box_heightmap(pa, sb, Ta, Tb):
+    pts, ns, ds = [], [], []
+    corners = _box_corners(pa)
+    for k in range(8):
+        v_w = Ta.apply(corners[k])
+        depth, n = _point_heightmap(v_w, sb, Tb)
+        pts.append(v_w)
+        ns.append(n)
+        ds.append(depth)
+    return pts, ns, ds
+
+
+def _capsule_heightmap(pa, sb, Ta, Tb):
+    r, h = pa[0], pa[1]
+    pts, ns, ds = [], [], []
+    for sign in (-1.0, 1.0):
+        end = Ta.apply(jnp.asarray([0.0, 0.0, sign * h / 2.0], dtype=pa.dtype))
+        depth_c, n = _point_heightmap(end, sb, Tb)
+        depth = depth_c + r
+        pts.append(end - n * (r - 0.5 * depth))
+        ns.append(n)
+        ds.append(depth)
+    return pts, ns, ds
+
+
+def _convex_heightmap(sa, sb, Ta, Tb):
+    v_w = _apply_batch(Ta, jnp.asarray(sa.vertices, dtype=Ta.p.dtype))
+    d, n = jax.vmap(lambda v: _point_heightmap(v, sb, Tb))(v_w)
+    return _topk_slots(d, v_w, n, 6)

@@ -388,3 +388,77 @@ def test_marker_mocap_real_trc_pipeline():
     # scales stay anatomical
     s = np.asarray(result.scales)
     assert s.min() > 0.6 and s.max() < 1.5
+
+
+def test_lilypad_segmentation_and_batch_gait_id():
+    """Lilypad ground-contact segmentation + batch inverse dynamics over a
+    synthetic 'gait': a body that alternates stance (still, low) and swing
+    (moving, high)."""
+    from nimblephysics_tpu.biomechanics import (
+        LilypadSolver, batch_gait_inverse_dynamics,
+    )
+    from nimblephysics_tpu.models.model import build_model
+
+    dt = 0.01
+    joints = [dict(type="free", name="root", body_name="foot", parent=-1,
+                   mass=3.0, moment=np.eye(3) * 0.01)]
+    model = build_model(joints, dt=dt, gravity=[0.0, -9.81, 0.0])
+    T = 60
+    qs = np.zeros((T, 6))
+    # stance frames 0-24 at x=0.0 (still, on ground); swing 25-40 moving;
+    # stance 41-59 at x=0.6
+    qs[25:41, 3] = np.linspace(0.0, 0.6, 16)
+    qs[25:41, 4] = 0.3 * np.sin(np.linspace(0, np.pi, 16))
+    qs[41:, 3] = 0.6
+    pads = LilypadSolver(model, ground_contact_bodies=(0,), tile_size=0.3)
+    pads.process(jnp.asarray(qs))
+    cells = pads.get_cells()
+    assert len(cells) >= 2                      # two distinct stance tiles
+    tiles = {(c.x, c.y) for c in cells}
+    assert len(tiles) >= 2                      # spatially separated
+    # frames clustered in the stance windows
+    all_frames = sorted(f for c in cells for f in c.frames)
+    assert all(f < 25 or f >= 40 for f in all_frames)
+
+    # batch gait ID: zero wrenches -> root residual should reflect gravity
+    wrenches = jnp.zeros((T, 1, 6))
+    mask = jnp.zeros((T, 1), dtype=bool)
+    res = jax.jit(lambda: batch_gait_inverse_dynamics(
+        model, jnp.asarray(qs), wrenches, mask))()
+    assert res.taus.shape == (T - 2, 6)
+    # in stance (no acceleration) the vertical root residual == m g
+    r_mid = float(res.root_residuals[5, 4])
+    assert abs(r_mid - 3.0 * 9.81) < 1e-3, r_mid
+
+
+def test_graph_flow_discretizer():
+    """Conservation clean-up + particle discretization (math/
+    GraphFlowDiscretizer role)."""
+    from nimblephysics_tpu.ops.graph_flow import GraphFlowDiscretizer
+
+    rng = np.random.default_rng(5)
+    # 3 nodes in a chain, node 0 attached to the source/sink
+    g = GraphFlowDiscretizer(3, [(0, 1), (1, 2)], [True, False, False])
+    T = 20
+    true_rates = np.stack([
+        0.5 + 0.3 * np.sin(np.linspace(0, 3, T - 1)),
+        0.2 + 0.2 * np.cos(np.linspace(0, 2, T - 1)),
+    ])
+    levels = np.zeros((3, T))
+    levels[0, 0] = 5.0
+    for t in range(T - 1):
+        flow01, flow12 = true_rates[0, t], true_rates[1, t]
+        levels[0, t + 1] = levels[0, t] - flow01 + 0.1   # source feed
+        levels[1, t + 1] = levels[1, t] + flow01 - flow12
+        levels[2, t + 1] = levels[2, t] + flow12
+    noisy = true_rates + rng.standard_normal(true_rates.shape) * 0.05
+    cleaned = g.clean_up_arc_rates(levels, noisy)
+    # conservation must hold exactly at non-sink nodes
+    for t in range(T - 1):
+        d1 = levels[1, t + 1] - levels[1, t]
+        assert abs(d1 - (cleaned[0, t] - cleaned[1, t])) < 1e-9
+        d2 = levels[2, t + 1] - levels[2, t]
+        assert abs(d2 - cleaned[1, t]) < 1e-9
+    paths = g.discretize(30, levels, cleaned)
+    assert len(paths) > 0
+    assert all(len(p.node_history) >= 1 for p in paths)

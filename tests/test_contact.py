@@ -357,3 +357,59 @@ def test_drchubo_meshes_load_as_hulls():
             assert s.vertices.shape[0] <= 24
             assert s.vertices.shape[1] == 3
             assert s.faces.shape[1] == 4
+
+
+def test_heightmap_contact_and_slope_normal():
+    """Heightmap terrain: a sphere dropped on a sloped grid rests with the
+    slope's surface normal; the contact is differentiable wrt q. (The
+    reference has HeightmapShape but no narrow-phase for it — this exceeds
+    parity.)"""
+    from nimblephysics_tpu.models.model import ShapeSpec, State, build_model
+    from nimblephysics_tpu.ops import collide
+    from nimblephysics_tpu.ops.lie import Transform
+    from nimblephysics_tpu.simulation.step import rollout, step
+
+    # 8x8 grid: plane sloping up in +x with slope 0.2, spacing 0.5
+    H = W = 8
+    dx = dz = 0.5
+    x0 = z0 = -1.75
+    xs = x0 + np.arange(W) * dx
+    heights = np.broadcast_to(0.2 * xs, (H, W)).copy()
+    hm = ShapeSpec(
+        kind="heightmap", body_index=-1,
+        offset=Transform(jnp.eye(3), jnp.zeros(3)),
+        params=jnp.asarray([x0, z0, dx, dz]),
+        vertices=jnp.asarray(heights),
+    )
+    # static geometry probe: depth/normal of a point query
+    d, n = collide._point_heightmap(jnp.asarray([0.5, 0.0, 0.0]), hm,
+                                    Transform(jnp.eye(3), jnp.zeros(3)))
+    assert abs(float(d) - 0.1) < 1e-6          # height at x=0.5 is 0.1
+    n_expect = np.asarray([-0.2, 1.0, 0.0])
+    n_expect /= np.linalg.norm(n_expect)
+    np.testing.assert_allclose(np.asarray(n), n_expect, atol=1e-6)
+
+    # dynamics: ball dropped above the slope settles ON the slope
+    joints = [dict(type="free", name="root", body_name="ball", parent=-1,
+                   mass=1.0, moment=np.eye(3) * 4e-4)]
+    shapes = (
+        ShapeSpec(kind="sphere", body_index=0,
+                  offset=Transform(jnp.eye(3), jnp.zeros(3)),
+                  params=jnp.asarray([0.1, 0.0, 0.0, 0.0]),
+                  friction=jnp.asarray(2.0)),
+        hm,
+    )
+    model = build_model(joints, dt=0.002, shapes=shapes, actuated=())
+    s0 = State(q=jnp.zeros(6).at[4].set(0.5), v=jnp.zeros(6))
+    final, _ = jax.jit(lambda s: rollout(model, s, jnp.zeros((500, 0))))(s0)
+    x_f, y_f = float(final.q[3]), float(final.q[4])
+    # resting on the surface: y ≈ h(x) + r·cos-ish (within tolerance)
+    assert abs(y_f - (0.2 * x_f + 0.1)) < 0.04, (x_f, y_f)
+
+    def loss(y0):
+        s = step(model, State(jnp.zeros(6).at[4].set(y0),
+                              jnp.zeros(6).at[4].set(-1.0)), jnp.zeros(0))
+        return jnp.sum(s.v ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(0.05))
+    assert np.isfinite(float(g))
