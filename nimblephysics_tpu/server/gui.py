@@ -33,6 +33,9 @@ class NimbleGUI:
         self._flush_thread: Optional[threading.Thread] = None
         self._running = False
         self._key_listeners: List[Callable[[str, bool], None]] = []
+        self._drag_listeners: Dict[str, List[Callable]] = {}
+        self._button_listeners: Dict[str, List[Callable]] = {}
+        self._slider_listeners: Dict[str, List[Callable]] = {}
 
     # -- lifecycle ----------------------------------------------------------
     def serve(self, port: int = 8070) -> None:
@@ -79,15 +82,46 @@ class NimbleGUI:
             self.flush()
             time.sleep(period)
 
-    # -- events (keydown etc., GUIWebsocketServer.hpp:76) --------------------
+    # -- events (keydown/drag/button/slider, GUIWebsocketServer.hpp:76) ------
     def register_key_listener(self, fn: Callable[[str, bool], None]) -> None:
         self._key_listeners.append(fn)
+
+    def register_drag_listener(
+        self, key: str, fn: Callable[[List[float]], None]
+    ) -> None:
+        """Viewer drags of object `key` call back with the new world
+        position (the round-trip behind the reference's interactive
+        target-dragging demos). Marks the object draggable."""
+        self.state_machine.set_object_draggable(key, True)
+        self._drag_listeners.setdefault(key, []).append(fn)
+
+    def register_button_listener(self, key: str, fn: Callable[[], None]) -> None:
+        self._button_listeners.setdefault(key, []).append(fn)
+
+    def register_slider_listener(
+        self, key: str, fn: Callable[[float], None]
+    ) -> None:
+        self._slider_listeners.setdefault(key, []).append(fn)
 
     def _on_message(self, payload: bytes) -> None:
         try:
             msg = json.loads(payload.decode())
         except (ValueError, UnicodeDecodeError):
             return
-        if msg.get("type") in ("keydown", "keyup"):
+        t = msg.get("type")
+        if t in ("keydown", "keyup"):
             for fn in self._key_listeners:
-                fn(msg.get("key", ""), msg["type"] == "keydown")
+                fn(msg.get("key", ""), t == "keydown")
+        elif t == "drag":
+            # keep the retained scene consistent, then notify
+            pos = msg.get("pos", [0, 0, 0])
+            self.state_machine.set_object_position(msg.get("key", ""), pos)
+            for fn in self._drag_listeners.get(msg.get("key", ""), []):
+                fn(pos)
+        elif t == "button_click":
+            for fn in self._button_listeners.get(msg.get("key", ""), []):
+                fn()
+        elif t == "slider_change":
+            v = float(msg.get("value", 0.0))
+            for fn in self._slider_listeners.get(msg.get("key", ""), []):
+                fn(v)

@@ -93,6 +93,105 @@ class GUIStateMachine:
         self.objects.pop(key, None)
         self._queue.append({"type": "delete_object", "key": key})
 
+    # -- meshes (create_mesh, GUIStateMachine.hpp:176-214) -------------------
+    def create_mesh(self, key, vertices, faces=None, pos=(0, 0, 0),
+                    euler=(0, 0, 0), color=(0.6, 0.6, 0.8, 1.0), layer=""):
+        """Triangle mesh (or point hull if faces omitted — the viewer
+        convex-hulls the vertices)."""
+        self._create({
+            "type": "create_mesh", "key": key,
+            "vertices": [list(map(float, v)) for v in np.asarray(vertices)],
+            "faces": ([list(map(int, f)) for f in faces]
+                      if faces is not None else None),
+            "pos": list(map(float, pos)), "euler": list(map(float, euler)),
+            "color": list(map(float, color)), "layer": layer,
+        })
+
+    # -- layers (createLayer/setLayerVisible) --------------------------------
+    def create_layer(self, key, color=(1.0, 1.0, 1.0, 1.0), default_show=True):
+        self._queue.append({"type": "create_layer", "key": key,
+                            "color": list(map(float, color)),
+                            "show": bool(default_show)})
+
+    def set_layer_visible(self, key, visible: bool):
+        self._queue.append({"type": "set_layer_visible", "key": key,
+                            "visible": bool(visible)})
+
+    # -- UI widgets (text/button/slider/plot — GUIStateMachine.hpp:329-400) --
+    def create_button(self, key, label, pos=(0, 0), size=(120, 40)):
+        self._create({"type": "create_button", "key": key, "label": label,
+                      "pos": list(map(float, pos)),
+                      "size": list(map(float, size))})
+
+    def create_slider(self, key, pos=(0, 0), size=(200, 40), lo=0.0, hi=1.0,
+                      value=0.5, only_ints=False, horizontal=True):
+        self._create({"type": "create_slider", "key": key,
+                      "pos": list(map(float, pos)),
+                      "size": list(map(float, size)),
+                      "min": float(lo), "max": float(hi),
+                      "value": float(value), "only_ints": bool(only_ints),
+                      "horizontal": bool(horizontal)})
+
+    def set_slider_value(self, key, value):
+        self._queue.append({"type": "set_slider_value", "key": key,
+                            "value": float(value)})
+        if key in self.objects:
+            self.objects[key]["value"] = float(value)
+
+    def create_plot(self, key, pos=(0, 0), size=(300, 200),
+                    min_x=0.0, max_x=1.0, min_y=0.0, max_y=1.0,
+                    xs=(), ys=(), plot_type="line"):
+        self._create({"type": "create_plot", "key": key,
+                      "pos": list(map(float, pos)),
+                      "size": list(map(float, size)),
+                      "min_x": float(min_x), "max_x": float(max_x),
+                      "min_y": float(min_y), "max_y": float(max_y),
+                      "xs": list(map(float, xs)), "ys": list(map(float, ys)),
+                      "plot_type": plot_type})
+
+    def set_plot_data(self, key, xs, ys, min_x=None, max_x=None,
+                      min_y=None, max_y=None):
+        cmd = {"type": "set_plot_data", "key": key,
+               "xs": list(map(float, xs)), "ys": list(map(float, ys))}
+        for name, v in (("min_x", min_x), ("max_x", max_x),
+                        ("min_y", min_y), ("max_y", max_y)):
+            if v is not None:
+                cmd[name] = float(v)
+        self._queue.append(cmd)
+        if key in self.objects:
+            self.objects[key].update(cmd)
+
+    def create_rich_plot(self, key, pos=(0, 0), size=(400, 250),
+                         min_x=0.0, max_x=1.0, min_y=0.0, max_y=1.0,
+                         title="", x_axis_label="", y_axis_label=""):
+        self._create({"type": "create_rich_plot", "key": key,
+                      "pos": list(map(float, pos)),
+                      "size": list(map(float, size)),
+                      "min_x": float(min_x), "max_x": float(max_x),
+                      "min_y": float(min_y), "max_y": float(max_y),
+                      "title": title, "x_axis_label": x_axis_label,
+                      "y_axis_label": y_axis_label, "data": {}})
+
+    def set_rich_plot_data(self, key, name, xs, ys,
+                           color="blue", plot_type="line"):
+        cmd = {"type": "set_rich_plot_data", "key": key, "name": name,
+               "xs": list(map(float, xs)), "ys": list(map(float, ys)),
+               "color": color, "plot_type": plot_type}
+        self._queue.append(cmd)
+        if key in self.objects:
+            self.objects[key]["data"][name] = cmd
+
+    # -- interaction (setObjectDragEnabled, GUIStateMachine.hpp) -------------
+    def set_object_draggable(self, key, draggable: bool = True):
+        self._queue.append({"type": "set_object_draggable", "key": key,
+                            "draggable": bool(draggable)})
+        if key in self.objects:
+            self.objects[key]["draggable"] = bool(draggable)
+
+    def set_object_tooltip(self, key, tooltip: str):
+        self._queue.append({"type": "set_object_tooltip", "key": key,
+                            "tooltip": tooltip})
+
     # -- world rendering (renderWorld/renderSkeleton, :59-84) ----------------
     def render_world(self, model: Model, state: State, prefix: str = "world"):
         """Create/update one object per collision shape + per-body frame
@@ -126,9 +225,28 @@ class GUIStateMachine:
                         np.asarray(n) * params[3], (0, 0, 0),
                         color=(0.6, 0.6, 0.6, 1.0),
                     )
+                elif shape.kind == "convex":
+                    self.create_mesh(key, np.asarray(shape.vertices),
+                                     pos=pw, euler=euler)
+                elif shape.kind == "heightmap":
+                    hm = np.asarray(shape.vertices)
+                    H, W = hm.shape
+                    x0, z0, dx, dz = [float(v) for v in params[:4]]
+                    verts = [
+                        [x0 + j * dx, float(hm[i, j]), z0 + i * dz]
+                        for i in range(H) for j in range(W)
+                    ]
+                    faces = []
+                    for i in range(H - 1):
+                        for j in range(W - 1):
+                            a = i * W + j
+                            faces.append([a, a + 1, a + W])
+                            faces.append([a + 1, a + W + 1, a + W])
+                    self.create_mesh(key, verts, faces=faces, pos=pw,
+                                     euler=euler, color=(0.5, 0.7, 0.5, 1.0))
             else:
                 self.set_object_position(key, pw)
-                if shape.kind in ("box", "capsule"):
+                if shape.kind in ("box", "capsule", "convex"):
                     self.set_object_rotation(key, euler)
 
     # -- flushing ------------------------------------------------------------

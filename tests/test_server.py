@@ -129,3 +129,74 @@ def test_standalone_html_export(tmp_path):
     assert "RECORDED_FRAMES" in html
     assert "create_box" in html
     assert html.count("set_object_position") >= 2
+
+
+def test_gui_widgets_plots_and_drag_roundtrip():
+    """UI widgets (button/slider/plot/rich plot), layers, and the drag
+    event round-trip (GUIStateMachine.hpp:329-400 + GUIWebsocketServer drag
+    events)."""
+    import json as _json
+
+    from nimblephysics_tpu.server.gui import NimbleGUI
+    from nimblephysics_tpu.server.state_machine import GUIStateMachine
+
+    gui = NimbleGUI()
+    sm = gui.state_machine
+    sm.create_button("b1", "Reset", pos=(10, 10))
+    sm.create_slider("s1", lo=-1.0, hi=1.0, value=0.25)
+    sm.create_plot("p1", min_x=0, max_x=10, min_y=-1, max_y=1,
+                   xs=[0, 1, 2], ys=[0.0, 0.5, -0.5])
+    sm.create_rich_plot("rp", title="loss")
+    sm.set_rich_plot_data("rp", "train", [0, 1], [1.0, 0.5], color="red")
+    sm.create_layer("debug", default_show=False)
+    sm.set_layer_visible("debug", True)
+    sm.create_mesh("hull", [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    state = _json.loads(sm.full_state_json())
+    kinds = {c["type"] for c in state}
+    assert {"create_button", "create_slider", "create_plot",
+            "create_rich_plot", "create_mesh"} <= kinds
+    # rich plot series retained for late-joining clients
+    rp = next(c for c in state if c["type"] == "create_rich_plot")
+    assert "train" in rp["data"]
+
+    # event dispatch round-trip (wire format -> listener callbacks)
+    got = {}
+    gui.register_button_listener("b1", lambda: got.setdefault("btn", True))
+    gui.register_slider_listener("s1", lambda v: got.setdefault("slider", v))
+    gui.register_drag_listener("hull", lambda p: got.setdefault("drag", p))
+    gui._on_message(_json.dumps({"type": "button_click", "key": "b1"}).encode())
+    gui._on_message(_json.dumps(
+        {"type": "slider_change", "key": "s1", "value": 0.7}).encode())
+    gui._on_message(_json.dumps(
+        {"type": "drag", "key": "hull", "pos": [1.0, 2.0, 3.0]}).encode())
+    assert got == {"btn": True, "slider": 0.7, "drag": [1.0, 2.0, 3.0]}
+    # drag also updated the retained scene position
+    assert sm.objects["hull"]["pos"] == [1.0, 2.0, 3.0]
+
+
+def test_render_world_convex_and_heightmap_as_meshes():
+    from nimblephysics_tpu.models.model import ShapeSpec, State, build_model
+    from nimblephysics_tpu.ops.lie import Transform
+    from nimblephysics_tpu.server.state_machine import GUIStateMachine
+
+    joints = [dict(type="free", name="r", body_name="b", parent=-1, mass=1.0)]
+    hull_v = jnp.asarray([[0.0, 0, 0], [0.1, 0, 0], [0, 0.1, 0], [0, 0, 0.1]])
+    shapes = (
+        ShapeSpec(kind="convex", body_index=0,
+                  offset=Transform(jnp.eye(3), jnp.zeros(3)),
+                  params=jnp.zeros(4), vertices=hull_v,
+                  faces=jnp.zeros((4, 4))),
+        ShapeSpec(kind="heightmap", body_index=-1,
+                  offset=Transform(jnp.eye(3), jnp.zeros(3)),
+                  params=jnp.asarray([-1.0, -1.0, 0.5, 0.5]),
+                  vertices=jnp.zeros((4, 4))),
+    )
+    model = build_model(joints, dt=0.01, shapes=shapes, actuated=())
+    sm = GUIStateMachine()
+    sm.render_world(model, State(q=jnp.zeros(6), v=jnp.zeros(6)))
+    import json as _json
+    cmds = _json.loads(sm.full_state_json())
+    meshes = [c for c in cmds if c["type"] == "create_mesh"]
+    assert len(meshes) == 2
+    hm = [m for m in meshes if m["faces"]][0]
+    assert len(hm["faces"]) == 2 * 3 * 3     # (H-1)(W-1) quads x 2 tris
