@@ -74,11 +74,16 @@ def solve_single_shooting(
     optimizer: str = "adam",
     lr: float = 1e-1,
     u_clip: bool = True,
+    grad_clip: Optional[float] = None,
 ) -> ShootingSolution:
     """Fixed-iteration first-order solve, fully jittable.
 
     optimizer: "sgd" reproduces the reference's `SGDOptimizer` (plain
     gradient descent, SGDOptimizer.hpp:28); "adam" is the default.
+    grad_clip: optional global-norm gradient clip — the robustness valve
+    for contact-rich rollouts where the LCP active-set derivative can
+    spike near degenerate contact configurations (the reference's
+    analogue is `clipLossGradientsToBounds`, BackpropSnapshot.cpp:181).
     """
     model = problem.model
     na = model.num_actions
@@ -99,6 +104,11 @@ def solve_single_shooting(
     def body(carry, _):
         u, opt_state = carry
         val, g = grad_fn(u)
+        if grad_clip is not None:
+            gn = jnp.sqrt(jnp.sum(g * g))
+            g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gn, 1e-12))
+            # non-finite guard: a NaN gradient must not poison the iterate
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
         updates, opt_state = opt.update(g, opt_state, u)
         u = project(optax.apply_updates(u, updates))
         return (u, opt_state), val

@@ -222,3 +222,21 @@ def test_ilqr_parallel_backward_converges_like_sequential():
         model, State(q, jnp.zeros(2)), u0, running, final,
         ILQRConfig(iters=8, riccati="parallel")).cost))(q0)
     assert np.all(np.isfinite(np.asarray(costs)))
+
+
+def test_single_shooting_grad_clip_contact_world():
+    """grad_clip keeps an aggressive-lr contact-rich solve finite and
+    still improving (the robustness valve for LCP-derivative spikes)."""
+    from nimblephysics_tpu.trajectory import solve_single_shooting as sss
+
+    model = builders.jump_worm(dt=0.002)
+    x0 = State(q=jnp.asarray([0.0, -0.5, 0.6, 0.6]), v=jnp.zeros(4))
+
+    def loss(traj):
+        return -jnp.max(traj.q[:, 1]) + 1e-6 * jnp.sum(traj.u ** 2)
+
+    prob = SingleShootingProblem(model=model, x0=x0, horizon=120, loss=loss)
+    sol = jax.jit(lambda: sss(prob, iters=40, lr=3.0, grad_clip=10.0))()
+    h = np.asarray(sol.loss_history)
+    assert np.all(np.isfinite(h))
+    assert h[-1] <= h[0] + 1e-6
