@@ -42,3 +42,9 @@ from nimblephysics_tpu.biomechanics.batch_gait_id import (  # noqa: F401
     batch_gait_inverse_dynamics,
     GaitInverseDynamicsResult,
 )
+from nimblephysics_tpu.biomechanics.b3d import (  # noqa: F401
+    B3DSubject,
+    load_b3d,
+    write_b3d,
+    MissingGRFReason,
+)

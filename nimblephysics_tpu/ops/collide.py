@@ -61,7 +61,7 @@ def _num_slots(kind_a: str, kind_b: str) -> int:
         ("capsule", "halfspace"): 2,
         ("sphere", "sphere"): 1,
         ("sphere", "box"): 1,
-        ("box", "box"): 16,
+        ("box", "box"): 25,
         ("capsule", "box"): 2,
         ("capsule", "capsule"): 1,
         ("sphere", "capsule"): 1,
@@ -273,12 +273,15 @@ def _vertex_in_box(v_w: jax.Array, half: jax.Array, Tb: Transform):
 
 
 def _box_box(pa, pb, Ta, Tb):
-    """Vertex-face contacts both directions (16 slots). The reference's
-    box-box uses ODE-style SAT face clipping (`DARTCollide.hpp:79`); the
-    vertex-in-box formulation gives the same resting/stacking contact sets
-    with a fully differentiable closed form. Edge-edge crossings are not
-    generated (deep edge-on-edge impacts resolve one step later through
-    vertex contacts)."""
+    """Vertex-face contacts both directions (16 slots) + edge-edge SAT
+    contacts (9 slots, one per cross-axis pair). The reference's box-box
+    uses ODE-style SAT face clipping with edge-edge cases
+    (`DARTCollide.hpp:79`); here vertex-in-box slots cover the face cases
+    with a fully differentiable closed form, and the 9 edge slots cover
+    crossings where no vertex penetrates (e.g. two bars forming an X).
+    An edge slot fires only when its cross axis is (within an ODE-style
+    5% fudge) the minimal separating axis, so resting face stacks keep
+    being resolved by the vertex slots."""
     half_a, half_b = pa[:3] / 2.0, pb[:3] / 2.0
     pts, ns, ds = [], [], []
     ca = _box_corners(pa)
@@ -297,6 +300,88 @@ def _box_box(pa, pb, Ta, Tb):
         pts.append(v_w)
         ns.append(-n_out)  # B's vertex in A: push B along −(A's outward)
         ds.append(depth)
+    e_pts, e_ns, e_ds = _box_box_edges(half_a, half_b, Ta, Tb)
+    return pts + e_pts, ns + e_ns, ds + e_ds
+
+
+def _box_box_edges(half_a, half_b, Ta: Transform, Tb: Transform):
+    """9 edge-edge SAT slots for a box pair. For each axis pair (i, j) the
+    candidate normal is cross(ua_i, ub_j); SAT overlap along it gives the
+    depth; the contact point is the midpoint of the closest points of the
+    two supporting edges. Active only when penetrating AND the cross axis
+    beats every face axis (the reference's ODE SAT uses the same
+    face-preferring fudge — `DARTCollide` via ODE dBoxBox)."""
+    dtype = half_a.dtype
+    ua = [Ta.R[:, k] for k in range(3)]
+    ub = [Tb.R[:, k] for k in range(3)]
+    d_ab = Ta.p - Tb.p
+
+    def _overlap(axis):
+        ra = sum(half_a[k] * jnp.abs(jnp.dot(axis, ua[k])) for k in range(3))
+        rb = sum(half_b[k] * jnp.abs(jnp.dot(axis, ub[k])) for k in range(3))
+        return ra + rb - jnp.abs(jnp.dot(axis, d_ab))
+
+    min_face = jnp.minimum(
+        jnp.min(jnp.stack([_overlap(ua[k]) for k in range(3)])),
+        jnp.min(jnp.stack([_overlap(ub[k]) for k in range(3)])),
+    )
+
+    # First pass: per-pair axis, overlap, supporting-edge closest points.
+    axes, depths, parallels, cps = [], [], [], []
+    for i in range(3):
+        for j in range(3):
+            n_raw = jnp.cross(ua[i], ub[j])
+            length = jnp.sqrt(jnp.maximum(jnp.dot(n_raw, n_raw), 1e-18))
+            parallel = length < 1e-6
+            n = n_raw / jnp.maximum(length, 1e-9)
+            # orient B -> A
+            n = n * jnp.where(jnp.dot(n, d_ab) >= 0.0, 1.0, -1.0)
+            depth = _overlap(n)
+            # supporting edge of A in the -n direction (its material is
+            # deepest toward B), of B in the +n direction.
+            ea_c = Ta.p + sum(
+                -jnp.sign(jnp.dot(n, ua[k])) * half_a[k] * ua[k]
+                for k in range(3) if k != i
+            )
+            eb_c = Tb.p + sum(
+                jnp.sign(jnp.dot(n, ub[k])) * half_b[k] * ub[k]
+                for k in range(3) if k != j
+            )
+            pa0 = ea_c - half_a[i] * ua[i]
+            pb0 = eb_c - half_b[j] * ub[j]
+            cpa, cpb = _segment_closest_points(
+                pa0, 2.0 * half_a[i] * ua[i], pb0, 2.0 * half_b[j] * ub[j]
+            )
+            axes.append(n)
+            depths.append(depth)
+            parallels.append(parallel)
+            cps.append((cpa, cpb))
+
+    # SAT: penetration only if EVERY axis (6 face + 9 edge) overlaps; an
+    # edge slot fires only when its axis is (within an ODE-style 5% fudge)
+    # the globally minimal one AND its supporting edges actually meet there
+    # (closest-point gap ~ depth) — otherwise a far-apart edge pair can
+    # share the minimal axis direction and emit a phantom contact.
+    edge_depths = jnp.stack(depths)
+    edge_valid_depths = jnp.where(
+        jnp.stack(parallels), jnp.inf, edge_depths)
+    min_all = jnp.minimum(min_face, jnp.min(edge_valid_depths))
+
+    pts, ns, ds = [], [], []
+    for k in range(9):
+        cpa, cpb = cps[k]
+        gap = jnp.sqrt(jnp.maximum(jnp.sum((cpa - cpb) ** 2), 1e-18))
+        depth = depths[k]
+        valid = (
+            jnp.logical_not(parallels[k])
+            & (min_all > 0.0)
+            & (depth <= min_all * 1.05 + 1e-6)
+            & (gap <= depth * 1.5 + 1e-3)
+        )
+        masked = jnp.where(valid, depth, -jnp.abs(depth) - 1.0)
+        pts.append(0.5 * (cpa + cpb))
+        ns.append(axes[k])
+        ds.append(masked.astype(dtype))
     return pts, ns, ds
 
 

@@ -88,11 +88,19 @@ def logm_so3(R: jax.Array) -> jax.Array:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    # Branch masks from cos(theta) so they exist before theta does.
+    small = cos_t > 1.0 - 1e-12          # theta < ~1.4e-6
+    near_pi = cos_t < -1.0 + 1e-8        # theta > ~pi - 1.4e-4
+    # arccos'(+-1) = inf: even on branches whose VALUE is discarded by the
+    # `where`s below, reverse-mode multiplies a zero cotangent by that inf
+    # and produces NaN — so the INPUT must be sanitized, not just the
+    # output (0 * inf = NaN is the whole reason this function needs care).
+    acos_in = jnp.clip(
+        jnp.where(small, jnp.zeros_like(cos_t), cos_t), -1.0 + 1e-12, 1.0
+    )
+    theta = jnp.where(small, jnp.zeros_like(cos_t), jnp.arccos(acos_in))
     # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
     sin_t = jnp.sin(theta)
-    small = theta < 1e-6
-    near_pi = theta > jnp.pi - 1e-4
     safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_t), sin_t)
     antisym = vee(R - jnp.swapaxes(R, -1, -2))
     w_generic = (theta / (2.0 * safe_sin))[..., None] * antisym
@@ -101,8 +109,14 @@ def logm_so3(R: jax.Array) -> jax.Array:
     # u_i^2 = (R_ii - cos)/ (1 - cos)
     one_minus_cos = jnp.where(near_pi, 1.0 - cos_t, jnp.ones_like(cos_t))
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    u_sq = jnp.clip((diag - cos_t[..., None]) / one_minus_cos[..., None], 0.0, 1.0)
-    u_abs = jnp.sqrt(u_sq)
+    ratio = (diag - cos_t[..., None]) / one_minus_cos[..., None]
+    # Same 0*inf hazard: off the near-pi branch route sqrt through 1.0, and
+    # on it clamp away sqrt'(0)=inf (axis component exactly in a coordinate
+    # plane — subgradient 0 at the |u| kink).
+    u_sq = jnp.clip(
+        jnp.where(near_pi[..., None], ratio, jnp.ones_like(ratio)), 0.0, 1.0
+    )
+    u_abs = jnp.sqrt(jnp.maximum(u_sq, 1e-12))
     # Signs from the antisymmetric part (may be tiny but sign survives),
     # falling back to the off-diagonal symmetric part for the largest axis.
     sign = jnp.where(antisym >= 0.0, 1.0, -1.0)

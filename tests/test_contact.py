@@ -413,3 +413,66 @@ def test_heightmap_contact_and_slope_normal():
 
     g = jax.grad(loss)(jnp.asarray(0.05))
     assert np.isfinite(float(g))
+
+
+def test_box_box_edge_edge_crossing():
+    """Two bars crossing like an X penetrate with NO vertex inside either
+    box — only the edge-edge SAT slots can see it (reference: ODE dBoxBox
+    edge cases inside `DARTCollide.hpp:79`)."""
+    from nimblephysics_tpu.ops import collide
+
+    pa = jnp.asarray([0.2, 0.2, 4.0, 0.0])   # bar A along z
+    pb = jnp.asarray([4.0, 0.2, 0.2, 0.0])   # bar B along x
+    Ta = Transform(jnp.eye(3), jnp.asarray([0.0, 0.17, 0.0]))
+    Tb = Transform(jnp.eye(3), jnp.zeros(3))
+    pts, ns, ds = collide._box_box(pa, pb, Ta, Tb)
+    depth = np.asarray(jnp.stack(ds))
+    assert depth.shape[0] == 25
+    # all 16 vertex slots inactive, the crossing resolved by an edge slot
+    assert np.all(depth[:16] <= 0.0)
+    k = int(np.argmax(depth))
+    assert k >= 16
+    assert abs(depth[k] - 0.03) < 1e-6
+    n = np.asarray(ns[k])
+    assert np.allclose(n, [0.0, 1.0, 0.0], atol=1e-6)     # B -> A is +y
+    p = np.asarray(pts[k])
+    assert np.allclose(p, [0.0, 0.085, 0.0], atol=1e-5)
+
+    # depth gradient wrt A's height is -1 (pure SAT overlap along +y)
+    def max_depth(y):
+        _, _, ds2 = collide._box_box(
+            pa, pb, Transform(jnp.eye(3), jnp.asarray([0.0, y, 0.0])), Tb)
+        return jnp.max(jnp.stack(ds2))
+
+    g = float(jax.grad(max_depth)(jnp.asarray(0.17)))
+    assert abs(g + 1.0) < 1e-4
+
+
+def test_bar_rests_crossed_on_rails():
+    """Drop a bar across two static perpendicular rails: only edge-edge
+    contacts support it (no vertex of either box penetrates the other) —
+    it would tunnel straight through with vertex-only slots."""
+    joints = [dict(type="free", name="j", body_name="bar", parent=-1,
+                   mass=1.0, moment=np.eye(3) * 0.05)]
+    rail = jnp.asarray([2.0, 0.2, 0.2, 0.0])
+    shapes = (
+        ShapeSpec(kind="box", body_index=0,
+                  offset=Transform(np.eye(3), np.zeros(3)),
+                  params=jnp.asarray([0.2, 0.2, 2.0, 0.0]),
+                  friction=jnp.asarray(0.9)),
+        ShapeSpec(kind="box", body_index=-1,
+                  offset=Transform(np.eye(3), np.asarray([0.0, 0.0, -0.6])),
+                  params=rail, friction=jnp.asarray(0.9)),
+        ShapeSpec(kind="box", body_index=-1,
+                  offset=Transform(np.eye(3), np.asarray([0.0, 0.0, 0.6])),
+                  params=rail, friction=jnp.asarray(0.9)),
+    )
+    model = build_model(joints, dt=0.002, shapes=shapes)
+    s0 = State(q=jnp.zeros(6).at[4].set(0.4), v=jnp.zeros(6))
+    final, _ = jax.jit(
+        lambda: rollout(model, s0, jnp.zeros((700, model.num_actions)))
+    )()
+    assert np.all(np.isfinite(np.asarray(final.q)))
+    # rests on top: center at rail-top (0.1) + bar-half (0.1) = 0.2
+    assert abs(float(final.q[4]) - 0.2) < 0.04, float(final.q[4])
+    assert abs(float(final.v[4])) < 0.1
