@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from nimblephysics_tpu.models.model import Model, State
 from nimblephysics_tpu.ops import joints as J
 from nimblephysics_tpu.ops import lie
+from nimblephysics_tpu.ops import linalg_small
 from nimblephysics_tpu.ops.lie import Transform
 from nimblephysics_tpu.ops.spatial import spatial_inertia
 
@@ -157,7 +158,10 @@ def aba(
         if nd > 0:
             U[i] = IA[i] @ Si                             # (6, nd)
             D = Si.T @ U[i]                               # (nd, nd)
-            Dinv[i] = jnp.linalg.inv(D)
+            # D is the SPD joint-space articulated inertia (nd <= 6);
+            # unrolled pivot-free inverse keeps the scan body off the
+            # serial LU path (ops/linalg_small.py).
+            Dinv[i] = linalg_small.inv_spd(D)
             u[i] = tau_eff[model.joint_slice(i)] - Si.T @ pA[i]
             Ia = IA[i] - U[i] @ Dinv[i] @ U[i].T
             pa = pA[i] + Ia @ vel.c[i] + U[i] @ (Dinv[i] @ u[i])

@@ -41,6 +41,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from nimblephysics_tpu.ops import linalg_small
+
 _BIG = 1e20
 # Reference: ConstrainedGroupGradientMatrices.cpp:24
 CLAMPING_THRESHOLD = 1e-6
@@ -198,7 +200,14 @@ def direct_boxed_solve(
         # solve A_II x_I = b_I − A_IB x_B  (padded to identity off-interior)
         rhs = i_mask * (b - A @ x_bound)
         Af = i_mask[:, None] * A * i_mask[None, :] + jnp.diag(1.0 - i_mask)
-        x_int = jnp.linalg.solve(Af, rhs)
+        # Af = SPD principal block of (J M⁻¹ Jᵀ + cfm·I) padded with identity
+        # -> pivot-free unrolled solve off the serial-LU path for the sizes
+        # real worlds produce; fall back to LAPACK-style solve when the
+        # unroll would bloat the graph.
+        if m <= 24:
+            x_int = linalg_small.solve_spd(Af, rhs)
+        else:
+            x_int = jnp.linalg.solve(Af, rhs)
         x_new = x_int * i_mask + x_bound
         # reclassify: interior rows outside the box go to the boundary;
         # boundary rows with complementarity-violating w come back inside
@@ -267,6 +276,9 @@ def _boxed_lcp_jvp(findex, iters, method, primals, tangents):
     eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-5, dtype)
     qscale = jnp.maximum(jnp.max(jnp.abs(Qf)), 1.0)
     QtQ = Qf.T @ Qf + (eps * qscale * qscale) * jnp.eye(m, dtype=dtype)
-    dx_C = jnp.linalg.solve(QtQ, Qf.T @ rhs)
+    if m <= 24:  # SPD by construction; see direct_boxed_solve note
+        dx_C = linalg_small.solve_spd(QtQ, Qf.T @ rhs)
+    else:
+        dx_C = jnp.linalg.solve(QtQ, Qf.T @ rhs)
     dx = R @ (cmask * dx_C)
     return x, dx

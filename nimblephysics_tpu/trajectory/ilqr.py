@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from nimblephysics_tpu.models.model import Model, State
+from nimblephysics_tpu.ops import linalg_small
 from nimblephysics_tpu.simulation.step import step
 
 
@@ -62,29 +63,12 @@ class ILQRSolution(NamedTuple):
     k: jax.Array           # (T, na) feedforward terms
 
 
-def _gj_inv(D: jax.Array) -> jax.Array:
-    """Batched Gauss-Jordan inverse WITHOUT pivoting, unrolled over the
-    (static) matrix size.
-
-    `jnp.linalg.solve`/`inv` lower to LU with row pivoting, which XLA:TPU
-    implements as a serial loop with dynamic slices — catastrophic inside
-    an associative scan (measured 7x slower than the sequential Riccati).
-    The matrices inverted here are I + C·J with C, J PSD (eigenvalues of
-    C·J are real ≥ 0), so pivot-free elimination is stable. Each step is a
-    rank-1 broadcast update → pure fused elementwise work + MXU matmuls
-    outside."""
-    n = D.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=D.dtype), D.shape)
-    A = jnp.concatenate([D, eye], axis=-1)  # (..., n, 2n)
-    for k in range(n):
-        row = A[..., k, :] / A[..., k, k:k + 1]
-        A = A - A[..., :, k:k + 1] * row[..., None, :]
-        # the update zeroed row k too; restore the normalized pivot row
-        if A.ndim == 2:
-            A = A.at[k, :].set(row)
-        else:
-            A = A.at[..., k, :].set(row)
-    return A[..., :, n:]
+# Pivot-free unrolled Gauss-Jordan (ops/linalg_small.py): jnp.linalg
+# solve/inv lower to serial pivoting loops on XLA:TPU — catastrophic inside
+# scans (measured 7x slower than the sequential Riccati when used in the
+# associative-scan combine). The matrices inverted here are SPD or I + C·J
+# with C, J PSD (real eigenvalues >= 0), so pivot-free elimination is stable.
+_gj_inv = linalg_small.inv_spd
 
 
 def _parallel_riccati(fx, fu, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
@@ -171,9 +155,8 @@ def _parallel_riccati(fx, fu, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
         Quu = luu_t + reg * I_na + fu_t.T @ S_n @ fu_t
         Qu = lu_t - fu_t.T @ v_n
         Qux = lux_t + fu_t.T @ S_n @ fx_t
-        chol = jnp.linalg.cholesky(Quu)
-        ok = jnp.all(jnp.isfinite(chol))
-        Quu_inv = _gj_inv(Quu)
+        Quu_inv, min_piv = linalg_small.inv_spd_pivots(Quu)
+        ok = jnp.isfinite(min_piv) & (min_piv > 0.0)
         k_t = -(Quu_inv @ Qu)
         K_t = -(Quu_inv @ Qux)
         dv = jnp.array([k_t @ Qu, 0.5 * k_t @ (Quu @ k_t)])
@@ -291,11 +274,13 @@ def ilqr_solve(
             Vxx_reg = Vxx + reg * jnp.eye(Vxx.shape[0], dtype=dtype)
             Quu_reg = luu_t + fu_t.T @ Vxx_reg @ fu_t
             Qux_reg = lux_t + fu_t.T @ Vxx_reg @ fx_t
-            # Cholesky doubles as the PD check (NaN on indefinite).
-            chol = jnp.linalg.cholesky(Quu_reg)
-            ok = jnp.all(jnp.isfinite(chol))
-            k_t = -jnp.linalg.solve(Quu_reg, Qu)
-            K_t = -jnp.linalg.solve(Quu_reg, Qux_reg)
+            # Pivot-free inverse; its min pivot doubles as the PD check
+            # (jnp.linalg.cholesky/solve lower to serial pivoting loops on
+            # TPU — ruinous inside this T-step scan body).
+            Quu_inv, min_piv = linalg_small.inv_spd_pivots(Quu_reg)
+            ok = jnp.isfinite(min_piv) & (min_piv > 0.0)
+            k_t = -(Quu_inv @ Qu)
+            K_t = -(Quu_inv @ Qux_reg)
             Vx2 = Qx + K_t.T @ Quu @ k_t + K_t.T @ Qu + Qux.T @ k_t
             Vxx2 = Qxx + K_t.T @ Quu @ K_t + K_t.T @ Qux + Qux.T @ K_t
             Vxx2 = 0.5 * (Vxx2 + Vxx2.T)

@@ -133,3 +133,24 @@ def test_grad_through_expm_at_zero():
     assert np.all(np.isfinite(np.asarray(g)))
     g2 = jax.grad(lambda w: jnp.sum(lie.so3_right_jacobian(w)))(jnp.zeros(3))
     assert np.all(np.isfinite(np.asarray(g2)))
+
+
+def test_logm_so3_reverse_grads_finite_everywhere():
+    """Regression: reverse-mode through logm_so3 at identity produced NaN
+    (0 * inf via arccos'(1)/sqrt'(0) on masked branches). Identity rotation
+    is the DEFAULT free-joint state, so every rollout gradient hit it."""
+    import jax
+
+    from nimblephysics_tpu.ops import lie
+
+    for w0 in ([0.0, 0.0, 0.0], [1e-9, 0.0, 0.0], [0.3, -0.2, 0.5],
+               [np.pi - 1e-3, 0.0, 0.0], [0.0, np.pi - 5e-5, 0.0]):
+        w0 = jnp.asarray(w0, dtype=jnp.float64)
+        J = jax.jacrev(lambda w: lie.logm_so3(lie.expm_so3(w)))(w0)
+        assert np.isfinite(np.asarray(J)).all(), w0
+        # round-trip and consistency with forward mode where defined
+        assert np.allclose(
+            np.asarray(lie.logm_so3(lie.expm_so3(w0))), np.asarray(w0),
+            atol=1e-6)
+        Jf = jax.jacfwd(lambda w: lie.logm_so3(lie.expm_so3(w)))(w0)
+        assert np.allclose(np.asarray(J), np.asarray(Jf), atol=1e-5), w0
