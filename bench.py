@@ -31,7 +31,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 def main() -> None:
     from nimblephysics_tpu.models import builders
     from nimblephysics_tpu.models.model import State, relax_limits
-    from nimblephysics_tpu.trajectory.ilqr import ILQRConfig, ilqr_solve
+    from nimblephysics_tpu.trajectory.ilqr import (
+        ILQRConfig,
+        ilqr_solve,
+        ilqr_solve_batch,
+    )
 
     # Planning model: limits relaxed (the planner/plant split — the world
     # keeps the LCP constraint engine; the planner linearizes smooth
@@ -43,7 +47,7 @@ def main() -> None:
     ITERS = int(os.environ.get("BENCH_ITERS", "8"))
     N_ALPHA = int(os.environ.get("BENCH_ALPHAS", "6"))
     ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)[:N_ALPHA]
-    RICCATI = os.environ.get("BENCH_RICCATI", "sequential")
+    RICCATI = os.environ.get("BENCH_RICCATI", "pallas")
 
     def running(x, u, t):
         return 0.1 * jnp.sum(x[:nq] ** 2) + 1e-3 * jnp.sum(u**2)
@@ -51,18 +55,24 @@ def main() -> None:
     def final(x):
         return 10.0 * jnp.sum(x**2)
 
-    def solve_one(x0_flat, u_warm):
-        sol = ilqr_solve(
-            model,
-            State.from_flat(x0_flat),
-            u_warm,
-            running,
-            final,
-            ILQRConfig(iters=ITERS, alphas=ALPHAS, riccati=RICCATI),
-        )
-        return sol.u, sol.cost
+    cfg = ILQRConfig(iters=ITERS, alphas=ALPHAS, riccati=RICCATI)
+    if RICCATI == "pallas":
+        # Natively batched solver: one lane-parallel Pallas kernel for the
+        # Riccati backward pass across the whole batch (the measured
+        # bottleneck of the scan-based path).
+        def solve_all(x0s, u_warms):
+            sol = ilqr_solve_batch(model, x0s, u_warms, running, final, cfg)
+            return sol.u, sol.cost
 
-    solve_batch = jax.jit(jax.vmap(solve_one))
+        solve_batch = jax.jit(solve_all)
+    else:
+        def solve_one(x0_flat, u_warm):
+            sol = ilqr_solve(
+                model, State.from_flat(x0_flat), u_warm, running, final, cfg
+            )
+            return sol.u, sol.cost
+
+        solve_batch = jax.jit(jax.vmap(solve_one))
 
     key = jax.random.PRNGKey(0)
     x0 = jax.random.uniform(key, (B, 2 * nq), minval=-0.3, maxval=0.3)

@@ -116,7 +116,14 @@ def logm_so3(R: jax.Array) -> jax.Array:
     u_sq = jnp.clip(
         jnp.where(near_pi[..., None], ratio, jnp.ones_like(ratio)), 0.0, 1.0
     )
-    u_abs = jnp.sqrt(jnp.maximum(u_sq, 1e-12))
+    # sqrt'(0)=inf needs the clamp, but the clamp must not leak into the
+    # VALUE (it floors |u| at 1e-6, visible in round-trip tests): components
+    # with u_sq at/below the floor are exactly 0 with subgradient 0.
+    u_abs = jnp.where(
+        u_sq <= 1e-12,
+        jnp.zeros_like(u_sq),
+        jnp.sqrt(jnp.maximum(u_sq, 1e-12)),
+    )
     # Signs from the antisymmetric part (may be tiny but sign survives),
     # falling back to the off-diagonal symmetric part for the largest axis.
     sign = jnp.where(antisym >= 0.0, 1.0, -1.0)

@@ -331,3 +331,125 @@ def ilqr_solve(
     )
     return ILQRSolution(u=u, x=xs, cost=cost, cost_history=hist,
                         K=Ks[-1], k=ks[-1])
+
+
+def ilqr_solve_batch(
+    model: Model,
+    x0_flat: jax.Array,       # (B, 2nq)
+    u_init: jax.Array,        # (B, T, na)
+    running_cost: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    final_cost: Callable[[jax.Array], jax.Array],
+    config: ILQRConfig = ILQRConfig(),
+    block_b: int = 1024,
+) -> ILQRSolution:
+    """Natively batched iLQR with a lane-parallel Pallas Riccati backward.
+
+    Semantically `vmap(ilqr_solve)` — same rollouts, same line search, same
+    per-sample regularization schedule — but the backward pass runs as ONE
+    `ops/pallas_riccati.py` kernel over the whole batch instead of B
+    independent T-step scans of tiny ops. This is the fast path for the
+    MPC serving workload (bench.py); the scan-based `ilqr_solve` remains
+    the vmappable/differentiable reference.
+
+    Forward-only: the Pallas backward defines no AD rule.
+    """
+    dyn = _make_dyn(model)
+    B, T, na = u_init.shape
+    dtype = u_init.dtype
+
+    idx = jnp.asarray(model.actuated, dtype=jnp.int32) if na else None
+    u_lo = model.tau_lower[idx] if na else None
+    u_hi = model.tau_upper[idx] if na else None
+    ts = jnp.arange(T)
+
+    def clamp(u):
+        return jnp.clip(u, u_lo, u_hi)
+
+    def rollout_controls_one(x0, u):
+        def body(x, ut):
+            x2 = dyn(x, ut)
+            return x2, x2
+
+        _, xs = jax.lax.scan(body, x0, u, unroll=config.unroll)
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    rollout_controls = jax.vmap(rollout_controls_one)
+
+    def traj_cost_one(xs, u):
+        run = jnp.sum(jax.vmap(running_cost)(xs[:-1], u, ts))
+        return run + final_cost(xs[-1])
+
+    traj_cost = jax.vmap(traj_cost_one)
+
+    def rollout_gains_one(x0, xs_ref, u_ref, K, k, alpha):
+        def body(x, inp):
+            x_ref, u_ref_t, K_t, k_t = inp
+            u_t = clamp(u_ref_t + alpha * k_t + K_t @ (x - x_ref))
+            x2 = dyn(x, u_t)
+            return x2, (x2, u_t)
+
+        _, (xs, us) = jax.lax.scan(
+            body, x0, (xs_ref[:-1], u_ref, K, k), unroll=config.unroll
+        )
+        return jnp.concatenate([x0[None], xs], axis=0), us
+
+    rollout_gains = jax.vmap(rollout_gains_one, in_axes=(0, 0, 0, 0, 0, None))
+
+    dyn_jac = jax.vmap(jax.vmap(jax.jacfwd(dyn, argnums=(0, 1))))
+    cost_grad = jax.vmap(jax.vmap(jax.grad(running_cost, argnums=(0, 1))))
+
+    def hess_one(x, u_t, t):
+        hxx = jax.hessian(running_cost, argnums=0)(x, u_t, t)
+        huu = jax.hessian(running_cost, argnums=1)(x, u_t, t)
+        hux = jax.jacobian(jax.grad(running_cost, argnums=1), argnums=0)(x, u_t, t)
+        return hxx, huu, hux
+
+    cost_hess = jax.vmap(jax.vmap(hess_one))
+
+    from nimblephysics_tpu.ops.pallas_riccati import riccati_backward_pallas
+
+    def backward(xs, u, reg):
+        fx, fu = dyn_jac(xs[:, :-1], u)
+        tsb = jnp.broadcast_to(ts, (B, T))
+        lx, lu = cost_grad(xs[:, :-1], u, tsb)
+        lxx, luu, lux = cost_hess(xs[:, :-1], u, tsb)
+        Vx_T = jax.vmap(jax.grad(final_cost))(xs[:, -1])
+        Vxx_T = jax.vmap(jax.hessian(final_cost))(xs[:, -1])
+        return riccati_backward_pallas(
+            fx, fu, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, block_b=block_b
+        )
+
+    def iteration(carry, _):
+        xs, u, cost, reg = carry
+        K, k, _, pd_ok = backward(xs, u, reg)
+
+        alphas = jnp.asarray(config.alphas, dtype=dtype)
+
+        def try_alpha(alpha):
+            xs2, u2 = rollout_gains(x0_flat, xs, u, K, k, alpha)
+            return traj_cost(xs2, u2), xs2, u2
+
+        costs, xss, uss = jax.vmap(try_alpha)(alphas)   # (A,B), (A,B,...)
+        best = jnp.argmin(costs, axis=0)                # (B,)
+        barange = jnp.arange(B)
+        new_cost = costs[best, barange]
+        improved = (new_cost < cost) & pd_ok
+        xs_n = jnp.where(improved[:, None, None], xss[best, barange], xs)
+        u_n = jnp.where(improved[:, None, None], uss[best, barange], u)
+        cost_n = jnp.where(improved, new_cost, cost)
+        reg_n = jnp.where(
+            improved,
+            jnp.maximum(reg * config.reg_down, config.reg_min),
+            jnp.minimum(reg * config.reg_up, config.reg_max),
+        )
+        return (xs_n, u_n, cost_n, reg_n), (cost_n, K, k)
+
+    u0 = clamp(u_init)
+    xs0 = rollout_controls(x0_flat, u0)
+    cost0 = traj_cost(xs0, u0)
+    reg0 = jnp.full((B,), config.reg_init, dtype=dtype)
+    (xs, u, cost, _), (hist, Ks, ks) = jax.lax.scan(
+        iteration, (xs0, u0, cost0, reg0), None, length=config.iters
+    )
+    return ILQRSolution(u=u, x=xs, cost=cost, cost_history=hist,
+                        K=Ks[-1], k=ks[-1])
