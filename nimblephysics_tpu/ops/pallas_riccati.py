@@ -1,30 +1,38 @@
 """Pallas TPU kernel: lane-parallel batched Riccati backward pass for iLQR.
 
 The sequential backward pass (trajectory/ilqr.py `bstep`) is a T-step
-`lax.scan` whose body is ~20 tiny (B, nx, nx) ops — on TPU each scan step
-is an HBM round trip of a few KB, so the whole pass is latency-bound (the
-measured bulk of an MPC replan; NOTES_ROUND2.md profiling). This kernel
-runs the identical recursion with the BATCH on the VPU lane axis:
+`lax.scan` whose body is ~20 tiny (B, nx, nx) ops — each scan step is an
+HBM round trip of a few KB, so the whole pass is op-launch-latency bound
+(the measured bulk of an MPC replan; NOTES_ROUND2.md profiling). This
+kernel runs the identical recursion with the BATCH on the VPU lane axis:
 
-  * every matrix entry (e.g. Vxx[i,j]) is one (block_b,)-wide vector of
-    worlds; a 4x4 matmul is 64 fused multiply-adds of lane vectors,
-  * the time loop is the (innermost) Pallas grid dimension — per-step
-    inputs fx_t, fu_t, l*_t stream HBM -> VMEM double-buffered by the
-    pipeline while the value-function carry (Vx, Vxx, dV, ok) lives in
-    VMEM scratch across grid steps,
+  * every matrix entry (e.g. Vxx[i,j]) is one (block_b,)-wide lane vector
+    of worlds; a 4x4 matmul is 64 fused multiply-adds of lane vectors,
+  * ALL per-step inputs (fx, fu, lx, lu, lxx, luu, lux) are packed into
+    one (T, E, B) array host-side so the pipeline issues ONE large DMA
+    per time-chunk instead of ~10 tiny ones (measured 30x difference:
+    per-step blocks were DMA-latency bound at ~29 ms, within noise of
+    the XLA scan),
+  * the grid walks time in chunks of `t_chunk` steps (innermost grid
+    dim, reversed); within a chunk the value-function carry (Vx, Vxx,
+    dV, ok) stays in registers, and it persists across chunks in VMEM
+    scratch,
   * Quu_reg⁻¹ is the same pivot-free Gauss-Jordan as ops/linalg_small.py
-    (min pivot doubles as the positive-definiteness certificate), unrolled
-    on lane scalars.
+    (min pivot doubles as the positive-definiteness certificate),
+    unrolled on lane scalars,
+  * T is padded up to a chunk multiple with IDENTITY steps
+    (fx=I, luu=I, everything else 0) that provably leave the carry
+    unchanged, processed first in reverse order.
 
 Math mirrors the reference's per-step backward chain rule
 (`BackpropSnapshot::backprop`, /root/reference/dart/neural/
 BackpropSnapshot.cpp:121, composed over the horizon by
 `SingleShot::backpropGradientWrt`) in its iLQR form with Tassa-style
-state regularization — bit-compatible with ILQRConfig(riccati="sequential")
-up to float reassociation (tested in tests/test_pallas.py).
+state regularization — matches ILQRConfig(riccati="sequential") up to
+float reassociation (tested in tests/test_pallas.py).
 
 Forward-only: the MPC serving path never differentiates through the
-planner. AD through this kernel raises; use the XLA paths for that.
+planner. AD through this kernel is an error; use the XLA paths for that.
 """
 
 from __future__ import annotations
@@ -39,15 +47,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 Vec = jax.Array          # (block_b,) lane vector
 Mat = List[List[Vec]]    # rows x cols of lane vectors
-
-
-def _mat_rows(block: jax.Array, rows: int, cols: int) -> Mat:
-    """(E_pad, Bt) block -> rows x cols nested list of (Bt,) lane vectors."""
-    return [[block[r * cols + c] for c in range(cols)] for r in range(rows)]
-
-
-def _vec_rows(block: jax.Array, n: int) -> List[Vec]:
-    return [block[i] for i in range(n)]
 
 
 def _mm(A: Mat, B: Mat) -> Mat:
@@ -91,7 +90,6 @@ def _inv_spd_lanes(A: Mat) -> Tuple[Mat, Vec]:
     if n == 1:
         piv = A[0][0]
         return [[1.0 / piv]], piv
-    # M = [A | I] as lane scalars
     one = jnp.ones_like(A[0][0])
     zero = jnp.zeros_like(A[0][0])
     M = [
@@ -114,7 +112,6 @@ def _inv_spd_lanes(A: Mat) -> Tuple[Mat, Vec]:
 
 
 def _stack(rows: Sequence[Vec], e_pad: int) -> jax.Array:
-    """Stack lane vectors into an (e_pad, Bt) array, zero-padding rows."""
     rows = list(rows)
     if len(rows) < e_pad:
         rows = rows + [jnp.zeros_like(rows[0])] * (e_pad - len(rows))
@@ -125,103 +122,116 @@ def _pad8(e: int) -> int:
     return -(-e // 8) * 8
 
 
+def _offsets(nx: int, na: int):
+    """Row offsets of each per-step quantity in the packed (T, E, B) input."""
+    ofx = 0
+    ofu = ofx + nx * nx
+    olx = ofu + nx * na
+    olu = olx + nx
+    olxx = olu + na
+    oluu = olxx + nx * nx
+    olux = oluu + na * na
+    E = olux + na * nx
+    return ofx, ofu, olx, olu, olxx, oluu, olux, E
+
+
 def _riccati_kernel(
-    nx: int, na: int, T: int,
-    fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
-    VxT_ref, VxxT_ref, reg_ref,
-    K_ref, k_ref, dV_ref, ok_ref,
-    Vx_s, Vxx_s, dV_s, ok_s,
+    nx: int, na: int, t_chunk: int, n_chunks: int,
+    steps_ref,      # (t_chunk, E_pad, Bt) — packed fx|fu|lx|lu|lxx|luu|lux
+    const_ref,      # (Ec_pad, Bt)        — VxT | VxxT | reg
+    out_ref,        # (t_chunk, Eo_pad, Bt) — K | k
+    dvok_ref,       # (8, Bt)             — rows 0,1 = dV; row 2 = ok
+    carry_s,        # VMEM scratch (pad8(nx + nx*nx + 3), Bt)
 ):
-    j = pl.program_id(1)
+    c = pl.program_id(1)
+    ofx, ofu, olx, olu, olxx, oluu, olux, _ = _offsets(nx, na)
+    nxx = nx * nx
 
-    @pl.when(j == 0)
+    @pl.when(c == 0)
     def _():
-        Vx_s[...] = VxT_ref[...]
-        Vxx_s[...] = VxxT_ref[...]
-        dV_s[...] = jnp.zeros_like(dV_s)
-        ok_s[...] = jnp.ones_like(ok_s)
+        const = const_ref[...]
+        rows = [const[i] for i in range(nx + nxx)]
+        zero = jnp.zeros_like(rows[0])
+        one = jnp.ones_like(rows[0])
+        carry_s[...] = _stack(rows + [zero, zero, one], carry_s.shape[0])
 
-    reg = reg_ref[0]
-    fx = _mat_rows(fx_ref[0], nx, nx)
-    fu = _mat_rows(fu_ref[0], nx, na)
-    lx = _vec_rows(lx_ref[0], nx)
-    lu = _vec_rows(lu_ref[0], na)
-    lxx = _mat_rows(lxx_ref[0], nx, nx)
-    luu = _mat_rows(luu_ref[0], na, na)
-    lux = _mat_rows(lux_ref[0], na, nx)
-    Vx = _vec_rows(Vx_s[...], nx)
-    Vxx = _mat_rows(Vxx_s[...], nx, nx)
+    carry = carry_s[...]
+    Vx = [carry[i] for i in range(nx)]
+    Vxx = [[carry[nx + i * nx + j] for j in range(nx)] for i in range(nx)]
+    dv0, dv1, ok = carry[nx + nxx], carry[nx + nxx + 1], carry[nx + nxx + 2]
+    reg = const_ref[nx + nxx]
 
-    Qx = [a + b for a, b in zip(lx, _mTv(fx, Vx))]
-    Qu = [a + b for a, b in zip(lu, _mTv(fu, Vx))]
-    W = _mm(Vxx, fx)                     # (nx, nx)
-    Wu = _mm(Vxx, fu)                    # (nx, na)
-    Qxx = _madd(lxx, _mTm(fx, W))
-    Quu = _madd(luu, _mTm(fu, Wu))
-    Qux = _madd(lux, _mTm(fu, W))
-    # Tassa state regularization: Vxx_reg = Vxx + reg·I inside the fu
-    # products -> Quu_reg = Quu + reg·fuᵀfu, Qux_reg = Qux + reg·fuᵀfx.
-    fuTfu = _mTm(fu, fu)
-    fuTfx = _mTm(fu, fx)
-    Quu_reg = [
-        [Quu[a][b] + reg * fuTfu[a][b] for b in range(na)] for a in range(na)
-    ]
-    Qux_reg = [
-        [Qux[a][i] + reg * fuTfx[a][i] for i in range(nx)] for a in range(na)
-    ]
-    Quu_inv, min_piv = _inv_spd_lanes(Quu_reg)
-    ok_t = (jnp.isfinite(min_piv) & (min_piv > 0.0)).astype(min_piv.dtype)
-    k_t = [-u for u in _mv(Quu_inv, Qu)]
-    K_t = [[-x for x in row] for row in _mm(Quu_inv, Qux_reg)]
+    for r in reversed(range(t_chunk)):
+        st = steps_ref[r]
+        fx = [[st[ofx + i * nx + j] for j in range(nx)] for i in range(nx)]
+        fu = [[st[ofu + i * na + j] for j in range(na)] for i in range(nx)]
+        lx = [st[olx + i] for i in range(nx)]
+        lu = [st[olu + a] for a in range(na)]
+        lxx = [[st[olxx + i * nx + j] for j in range(nx)] for i in range(nx)]
+        luu = [[st[oluu + a * na + b] for b in range(na)] for a in range(na)]
+        lux = [[st[olux + a * nx + i] for i in range(nx)] for a in range(na)]
 
-    Quu_k = _mv(Quu, k_t)
-    Vx2 = [
-        Qx[i]
-        + sum(K_t[a][i] * (Quu_k[a] + Qu[a]) + Qux[a][i] * k_t[a]
-              for a in range(na))
-        for i in range(nx)
-    ]
-    KtQuu = _mTm(K_t, Quu)               # (nx, na)
-    V1 = _mm(KtQuu, K_t)                 # Kᵀ Quu K
-    V2 = _mTm(K_t, Qux)                  # Kᵀ Qux
-    Vxx2 = [
-        [
-            Qxx[i][j] + V1[i][j] + V2[i][j] + V2[j][i]
-            for j in range(nx)
+        Qx = [a + b for a, b in zip(lx, _mTv(fx, Vx))]
+        Qu = [a + b for a, b in zip(lu, _mTv(fu, Vx))]
+        W = _mm(Vxx, fx)                     # (nx, nx)
+        Wu = _mm(Vxx, fu)                    # (nx, na)
+        Qxx = _madd(lxx, _mTm(fx, W))
+        Quu = _madd(luu, _mTm(fu, Wu))
+        Qux = _madd(lux, _mTm(fu, W))
+        # Tassa state regularization: Vxx_reg = Vxx + reg·I inside the fu
+        # products -> Quu_reg = Quu + reg·fuᵀfu, Qux_reg = Qux + reg·fuᵀfx.
+        fuTfu = _mTm(fu, fu)
+        fuTfx = _mTm(fu, fx)
+        Quu_reg = [
+            [Quu[a][b] + reg * fuTfu[a][b] for b in range(na)]
+            for a in range(na)
         ]
-        for i in range(nx)
-    ]
-    Vxx2 = [
-        [0.5 * (Vxx2[i][j] + Vxx2[j][i]) for j in range(nx)] for i in range(nx)
-    ]
+        Qux_reg = [
+            [Qux[a][i] + reg * fuTfx[a][i] for i in range(nx)]
+            for a in range(na)
+        ]
+        Quu_inv, min_piv = _inv_spd_lanes(Quu_reg)
+        ok = ok * (jnp.isfinite(min_piv) & (min_piv > 0.0)).astype(ok.dtype)
+        k_t = [-u for u in _mv(Quu_inv, Qu)]
+        K_t = [[-x for x in row] for row in _mm(Quu_inv, Qux_reg)]
 
-    dv0 = dV_s[0] + sum(k_t[a] * Qu[a] for a in range(na))
-    dv1 = dV_s[1] + 0.5 * sum(k_t[a] * Quu_k[a] for a in range(na))
+        Quu_k = _mv(Quu, k_t)
+        Vx = [
+            Qx[i]
+            + sum(K_t[a][i] * (Quu_k[a] + Qu[a]) + Qux[a][i] * k_t[a]
+                  for a in range(na))
+            for i in range(nx)
+        ]
+        KtQuu = _mTm(K_t, Quu)               # (nx, na)
+        V1 = _mm(KtQuu, K_t)                 # Kᵀ Quu K
+        V2 = _mTm(K_t, Qux)                  # Kᵀ Qux
+        Vn = [
+            [Qxx[i][j] + V1[i][j] + V2[i][j] + V2[j][i] for j in range(nx)]
+            for i in range(nx)
+        ]
+        Vxx = [
+            [0.5 * (Vn[i][j] + Vn[j][i]) for j in range(nx)]
+            for i in range(nx)
+        ]
+        dv0 = dv0 + sum(k_t[a] * Qu[a] for a in range(na))
+        dv1 = dv1 + 0.5 * sum(k_t[a] * Quu_k[a] for a in range(na))
 
-    K_ref[0] = _stack([K_t[a][i] for a in range(na) for i in range(nx)],
-                      _pad8(na * nx))
-    k_ref[0] = _stack(k_t, _pad8(na))
-    Vx_s[...] = _stack(Vx2, _pad8(nx))
-    Vxx_s[...] = _stack([Vxx2[i][jj] for i in range(nx) for jj in range(nx)],
-                        _pad8(nx * nx))
-    dV_s[...] = _stack([dv0, dv1], 8)
-    ok_s[...] = ok_s[...] * ok_t[None]
-    dV_ref[...] = dV_s[...]
-    ok_ref[...] = ok_s[...]
+        out_ref[r] = _stack(
+            [K_t[a][i] for a in range(na) for i in range(nx)] + k_t,
+            out_ref.shape[1],
+        )
 
+    carry_s[...] = _stack(
+        [Vx[i] for i in range(nx)]
+        + [Vxx[i][j] for i in range(nx) for j in range(nx)]
+        + [dv0, dv1, ok],
+        carry_s.shape[0],
+    )
 
-def _pack(x: jax.Array, e_pad: int) -> jax.Array:
-    """(B, T, ...) -> (T, e_pad, B) batch-last with zero-padded entry axis."""
-    B, T = x.shape[0], x.shape[1]
-    flat = x.reshape(B, T, -1).transpose(1, 2, 0)
-    e = flat.shape[1]
-    return jnp.pad(flat, ((0, 0), (0, e_pad - e), (0, 0)))
-
-
-def _pack0(x: jax.Array, e_pad: int) -> jax.Array:
-    """(B, ...) -> (e_pad, B)."""
-    flat = x.reshape(x.shape[0], -1).T
-    return jnp.pad(flat, ((0, e_pad - flat.shape[0]), (0, 0)))
+    @pl.when(c == n_chunks - 1)
+    def _():
+        zero = jnp.zeros_like(dv0)
+        dvok_ref[...] = _stack([dv0, dv1, ok], 8)
 
 
 def riccati_backward_pallas(
@@ -236,6 +246,7 @@ def riccati_backward_pallas(
     Vxx_T: jax.Array,  # (B, nx, nx)
     reg: jax.Array,    # (B,)
     block_b: int = 1024,
+    t_chunk: int = None,
     interpret: bool = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched Riccati backward pass; returns (K, k, dV, ok) with
@@ -248,75 +259,96 @@ def riccati_backward_pallas(
     B_pad = -(-B // block_b) * block_b
     pb = B_pad - B
 
+    _, _, _, _, _, _, _, E = _offsets(nx, na)
+    E_pad = _pad8(E)
+    if t_chunk is None:
+        if interpret:
+            # interpret mode re-traces the unrolled chunk body per grid
+            # step — keep it tiny (tests run this path on CPU).
+            t_chunk = 1
+        else:
+            # chunk for ~2 MB per (steps) block per buffer (double-buffered)
+            step_bytes = E_pad * block_b * dtype.itemsize
+            t_chunk = max(1, min(T, (2 << 20) // max(step_bytes, 1)))
+    n_chunks = -(-T // t_chunk)
+    T_pad = n_chunks * t_chunk
+    pt = T_pad - T
+
     def padB(x):
         return jnp.pad(x, ((0, pb),) + ((0, 0),) * (x.ndim - 1))
 
-    e_xx, e_xa, e_x, e_a, e_aa, e_ax = (
-        _pad8(nx * nx), _pad8(nx * na), _pad8(nx), _pad8(na),
-        _pad8(na * na), _pad8(na * nx),
-    )
-    fx_p = _pack(padB(fx), e_xx)
-    fu_p = _pack(padB(fu), e_xa)
-    lx_p = _pack(padB(lx), e_x)
-    lu_p = _pack(padB(lu), e_a)
-    lxx_p = _pack(padB(lxx), e_xx)
-    # padding worlds must stay PD: identity luu, zero everything else
-    luu_pad = padB(luu)
-    if pb:
-        eye = jnp.broadcast_to(jnp.eye(na, dtype=dtype), (pb, T, na, na))
-        luu_pad = luu_pad.at[B:].set(eye)
-    luu_p = _pack(luu_pad, e_aa)
-    lux_p = _pack(padB(lux), e_ax)
-    VxT_p = _pack0(padB(Vx_T), e_x)
-    VxxT_p = _pack0(padB(Vxx_T), e_xx)
+    # Pack per-step inputs: (B, T, ...) -> (T, E, B) rows in _offsets order.
+    packed = jnp.concatenate(
+        [
+            padB(a).reshape(B_pad, T, -1)
+            for a in (fx, fu, lx, lu, lxx, luu, lux)
+        ],
+        axis=-1,
+    ).transpose(1, 2, 0)                                   # (T, E, B_pad)
+    if pt:
+        # identity steps (fx=I, luu=I, rest 0): leave the carry unchanged.
+        row = jnp.zeros((E,), dtype)
+        eye_x = jnp.eye(nx, dtype=dtype).reshape(-1)
+        eye_u = jnp.eye(na, dtype=dtype).reshape(-1)
+        ofx, _, _, _, _, oluu, _, _ = _offsets(nx, na)
+        row = row.at[ofx:ofx + nx * nx].set(eye_x)
+        row = row.at[oluu:oluu + na * na].set(eye_u)
+        pad_steps = jnp.broadcast_to(row[None, :, None], (pt, E, B_pad))
+        packed = jnp.concatenate([packed, pad_steps], axis=0)
+    packed = jnp.pad(packed, ((0, 0), (0, E_pad - E), (0, 0)))
+
+    # Constants: VxT | VxxT | reg rows.
+    nxx = nx * nx
+    Ec_pad = _pad8(nx + nxx + 1)
     reg_pad = padB(reg)
     if pb:
         reg_pad = reg_pad.at[B:].set(1.0)
-    reg_p = reg_pad[None, :]                     # (1, B_pad)
+    const = jnp.concatenate(
+        [padB(Vx_T), padB(Vxx_T).reshape(B_pad, nxx), reg_pad[:, None]],
+        axis=-1,
+    ).T                                                     # (nx+nxx+1, B_pad)
+    const = jnp.pad(const, ((0, Ec_pad - const.shape[0]), (0, 0)))
 
+    Eo_pad = _pad8(na * nx + na)
     Bb = B_pad // block_b
-    grid = (Bb, T)
+    grid = (Bb, n_chunks)
 
-    def t_spec(e):
-        return pl.BlockSpec((1, e, block_b), lambda bb, j: (T - 1 - j, 0, bb),
-                            memory_space=pltpu.VMEM)
-
-    def c_spec(e):
-        return pl.BlockSpec((e, block_b), lambda bb, j: (0, bb),
-                            memory_space=pltpu.VMEM)
-
-    kernel = partial(_riccati_kernel, nx, na, T)
-    K_p, k_p, dV_p, ok_p = pl.pallas_call(
+    kernel = partial(_riccati_kernel, nx, na, t_chunk, n_chunks)
+    out_p, dvok_p = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            t_spec(e_xx), t_spec(e_xa), t_spec(e_x), t_spec(e_a),
-            t_spec(e_xx), t_spec(e_aa), t_spec(e_ax),
-            c_spec(e_x), c_spec(e_xx),
-            pl.BlockSpec((1, block_b), lambda bb, j: (0, bb),
+            pl.BlockSpec(
+                (t_chunk, E_pad, block_b),
+                lambda bb, c: (n_chunks - 1 - c, 0, bb),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((Ec_pad, block_b), lambda bb, c: (0, bb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            t_spec(e_ax), t_spec(e_a), c_spec(8), c_spec(8),
+            pl.BlockSpec(
+                (t_chunk, Eo_pad, block_b),
+                lambda bb, c: (n_chunks - 1 - c, 0, bb),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, block_b), lambda bb, c: (0, bb),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, e_ax, B_pad), dtype),
-            jax.ShapeDtypeStruct((T, e_a, B_pad), dtype),
-            jax.ShapeDtypeStruct((8, B_pad), dtype),
+            jax.ShapeDtypeStruct((T_pad, Eo_pad, B_pad), dtype),
             jax.ShapeDtypeStruct((8, B_pad), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_pad8(nx), block_b), dtype),
-            pltpu.VMEM((_pad8(nx * nx), block_b), dtype),
-            pltpu.VMEM((8, block_b), dtype),
-            pltpu.VMEM((8, block_b), dtype),
+            pltpu.VMEM((_pad8(nx + nxx + 3), block_b), dtype),
         ],
         interpret=interpret,
-    )(fx_p, fu_p, lx_p, lu_p, lxx_p, luu_p, lux_p, VxT_p, VxxT_p, reg_p)
+    )(packed, const)
 
-    # unpack: (T, e, B) -> (B, T, ...)
-    K = K_p[:, : na * nx, :B].transpose(2, 0, 1).reshape(B, T, na, nx)
-    k = k_p[:, :na, :B].transpose(2, 0, 1)
-    dV = dV_p[:2, :B].T
-    ok = ok_p[0, :B] > 0.5
+    # unpack: (T_pad, Eo, B) -> (B, T, ...)
+    Kk = out_p[:T, :, :B].transpose(2, 0, 1)               # (B, T, Eo_pad)
+    K = Kk[:, :, : na * nx].reshape(B, T, na, nx)
+    k = Kk[:, :, na * nx: na * nx + na]
+    dV = dvok_p[:2, :B].T
+    ok = dvok_p[2, :B] > 0.5
     return K, k, dV, ok
