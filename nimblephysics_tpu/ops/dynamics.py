@@ -176,7 +176,10 @@ def aba(
 
     g_accel = jnp.concatenate([jnp.zeros(3, dtype=q.dtype), -model.gravity.astype(q.dtype)])
     a = [None] * nb
-    qdd = jnp.zeros_like(v)
+    # dof layout is sequential by joint index (Model.dof_offsets), so qdd is
+    # the ordered concatenation of per-joint segments — keeps the graph free
+    # of scatter ops (which Mosaic can't lower inside Pallas kernels).
+    qdd_parts = []
     for i in range(nb):
         p = model.parents[i]
         a_par = (
@@ -188,11 +191,11 @@ def aba(
         Si = kin.S[i]
         if Si.shape[1] > 0:
             qdd_i = Dinv[i] @ (u[i] - U[i].T @ a_prime)
-            qdd = qdd.at[model.joint_slice(i)].set(qdd_i)
+            qdd_parts.append(qdd_i)
             a[i] = a_prime + Si @ qdd_i
         else:
             a[i] = a_prime
-    return qdd
+    return jnp.concatenate(qdd_parts) if qdd_parts else jnp.zeros_like(v)
 
 
 def rnea(
@@ -238,15 +241,18 @@ def rnea(
         if f_ext is not None and f_ext[i] is not None:
             f[i] = f[i] - f_ext[i]
 
-    tau = jnp.zeros_like(v)
+    # scatter-free assembly (see aba): collect per-joint segments in the
+    # backward sweep, then concatenate in joint order.
+    tau_parts = [None] * nb
     for i in reversed(range(nb)):
         Si = kin.S[i]
         if Si.shape[1] > 0:
-            tau = tau.at[model.joint_slice(i)].set(Si.T @ f[i])
+            tau_parts[i] = Si.T @ f[i]
         p = model.parents[i]
         if p >= 0:
             f[p] = f[p] + lie.Ad_dual_apply(kin.T_pc[i], f[i])
-    return tau
+    parts = [t for t in tau_parts if t is not None]
+    return jnp.concatenate(parts) if parts else jnp.zeros_like(v)
 
 
 def mass_matrix(

@@ -1,0 +1,445 @@
+"""Batch-last jaxpr evaluation for Pallas TPU kernels ("lane vmap").
+
+TPU vector registers are (8 sublanes, 128 lanes); XLA lays out the LAST
+axis on lanes. A batch of small physics states shaped (B, 4) therefore
+uses 4 of 128 lanes — the measured reason the iLQR linearization sweep ran
+~30x off speed-of-light. `jax.vmap` can't fix this inside a Pallas kernel:
+its batching rules move the batch dim wherever convenient (often axis 0),
+producing batched matmuls Mosaic refuses ("batch dims must be equal").
+
+`lane_eval` instead interprets the UNBATCHED jaxpr of a function (traced
+once at per-world shapes, e.g. the 565-op cartpole step) with every value
+carrying the world batch as a TRAILING lane axis. Each primitive is
+re-emitted with the batch dim pinned last:
+
+  * elementwise ops bind unchanged (operands share the same batched shape),
+  * shape ops (broadcast/reshape/transpose/slice/concat/...) get their
+    dim parameters remapped around the trailing axis,
+  * `dot_general` on tiny physics matrices is lowered to broadcast-multiply
+    + `reduce_sum` — pure VPU lane ops; there is nothing for the MXU in a
+    6x6 spatial-algebra product, the parallelism is all in the batch.
+
+The result is a Mosaic-compilable graph whose every op is (small..., B)
+with B on lanes — the layout the hardware wants. Used by
+`ops/pallas_linearize.py` to fuse the whole dynamics-Jacobian sweep into
+one kernel (reference analogue: the per-step Jacobians the gradient engine
+assembles in `dart/neural/BackpropSnapshot.cpp:980`, there computed by
+hand per joint type; here any traced step function works).
+
+Restrictions: the jaxpr must be control-flow free (scan/while/cond) and
+gather/scatter free — true for the framework's trace-unrolled dynamics
+(ops/dynamics.py builds qdd/tau by concatenation for exactly this reason).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import core as jcore
+
+try:  # jax >= 0.4.x moved Literal around; support both
+    from jax._src.core import Literal
+except Exception:  # pragma: no cover
+    from jax.core import Literal  # type: ignore
+
+
+# Primitives whose operands all share one shape in a canonical jaxpr:
+# rebinding with batched operands of equal shape is valid as-is.
+_ELEMENTWISE = {
+    "add", "sub", "mul", "div", "rem", "pow", "atan2", "max", "min",
+    "neg", "sign", "floor", "ceil", "round", "abs", "sqrt", "rsqrt",
+    "cbrt", "exp", "exp2", "expm1", "log", "log1p", "tanh", "sin", "cos",
+    "tan", "asin", "acos", "atan", "sinh", "cosh", "asinh", "acosh",
+    "atanh", "logistic", "erf", "erfc", "erf_inv", "integer_pow",
+    "not", "and", "or", "xor", "shift_left", "shift_right_logical",
+    "shift_right_arithmetic", "eq", "ne", "lt", "le", "gt", "ge",
+    "add_any", "select_n", "clamp", "nextafter", "is_finite", "square",
+    "copy", "population_count", "clz", "imag", "real",
+}
+
+# Unary ops carrying only dtype-like params (bind as-is on batched input).
+_DTYPE_OPS = {"convert_element_type", "bitcast_convert_type", "reduce_precision"}
+
+_REDUCE_OPS = {"reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
+               "reduce_and", "reduce_or", "argmax", "argmin"}
+
+
+def _lit_key(val: np.ndarray) -> Tuple:
+    return (val.shape, str(val.dtype), val.tobytes())
+
+
+def collect_array_literals(jaxpr: jcore.Jaxpr) -> List[np.ndarray]:
+    """Unique non-scalar Literal arrays in a jaxpr (recursing into call
+    sub-jaxprs). Pallas kernels cannot close over array constants — the
+    caller passes these as kernel inputs and hands them back to
+    `lane_eval` via `literal_vals` keyed by `_lit_key`."""
+    seen = {}
+    order: List[np.ndarray] = []
+
+    def add(val):
+        val = np.asarray(val)
+        if val.ndim >= 1:
+            key = _lit_key(val)
+            if key not in seen:
+                seen[key] = True
+                order.append(val)
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            for v in eqn.invars:
+                if isinstance(v, Literal):
+                    add(v.val)
+            for p in eqn.params.values():
+                if hasattr(p, "consts") and hasattr(p, "jaxpr"):
+                    for c in p.consts:  # inner-closed-jaxpr constants
+                        add(c)
+                    walk(p.jaxpr)
+                elif hasattr(p, "eqns"):
+                    walk(p)
+
+    walk(jaxpr)
+    return order
+
+
+def hoist_unbatched(
+    jaxpr: jcore.Jaxpr,
+    consts: Sequence[Any],
+    args_batched: Sequence[bool],
+) -> Tuple[List[Any], List[Any]]:
+    """Partially evaluate the const-only subgraph of `jaxpr` OUTSIDE a
+    kernel. Everything that depends only on the jaxpr's constants (model
+    parameters) is computed natively here; returns (boundary_vars,
+    boundary_vals) — the unbatched values that batched equations consume.
+    Pass them into the kernel and hand them to `lane_eval(pre_env=...)`,
+    which then skips every unbatched equation (Mosaic cannot lower many
+    tiny-rank const manipulations, and they'd be recomputed per grid step)."""
+    env: Dict[Any, Any] = {}
+    batched = set()
+    for cv, c in zip(jaxpr.constvars, consts):
+        env[cv] = c
+    for av, b in zip(jaxpr.invars, args_batched):
+        if not b:
+            raise NotImplementedError("hoist_unbatched: unbatched args")
+        batched.add(av)
+
+    boundary: List[Any] = []
+    seen = set()
+    for eqn in jaxpr.eqns:
+        ins_b = [v in batched for v in eqn.invars if not isinstance(v, Literal)]
+        if not any(ins_b):
+            vals = [v.val if isinstance(v, Literal) else env[v]
+                    for v in eqn.invars]
+            out = eqn.primitive.bind(*vals, **eqn.params)
+            outs = out if eqn.primitive.multiple_results else [out]
+            for ov, o in zip(eqn.outvars, outs):
+                env[ov] = o
+        else:
+            for ov in eqn.outvars:
+                batched.add(ov)
+            for v in eqn.invars:
+                if (not isinstance(v, Literal) and v not in batched
+                        and v not in seen):
+                    seen.add(v)
+                    boundary.append(v)
+    for ov in jaxpr.outvars:
+        if not isinstance(ov, Literal) and ov not in batched and ov not in seen:
+            seen.add(ov)
+            boundary.append(ov)
+    return boundary, [env[v] for v in boundary]
+
+
+def _remap_consts(consts, literal_vals):
+    """Swap inner-jaxpr closure constants for their kernel-input values."""
+    if not literal_vals:
+        return consts
+    out = []
+    for c in consts:
+        if hasattr(c, "shape") and getattr(c, "ndim", 0) >= 1:
+            out.append(literal_vals.get(_lit_key(np.asarray(c)), c))
+        else:
+            out.append(c)
+    return out
+
+
+def _bcast(val: jax.Array, batched: bool, B: int) -> jax.Array:
+    """Materialize an unbatched value to shape val.shape + (B,).
+
+    Concrete scalars lower via `lax.full` (an immediate in the kernel);
+    array-shaped intermediates like `scalar[..., None]` would otherwise be
+    captured as constants, which pallas_call forbids."""
+    if batched:
+        return val
+    if not isinstance(val, jcore.Tracer) and np.ndim(val) == 0:
+        a = np.asarray(val)
+        return jax.lax.full((B,), a.item(), a.dtype)
+    return jnp.broadcast_to(val[..., None], val.shape + (B,))
+
+
+def _dot_general_lanes(lhs, rhs, dimension_numbers, B: int):
+    """dot_general with both operands batched on a trailing lane axis,
+    lowered to broadcast-multiply + reduce_sum (VPU-only; the contracted
+    dims are tiny physics dims, the FLOPs live in the lane axis)."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    lhs_rank = lhs.ndim - 1
+    rhs_rank = rhs.ndim - 1
+    lfree = [d for d in range(lhs_rank) if d not in lc and d not in lb]
+    rfree = [d for d in range(rhs_rank) if d not in rc and d not in rb]
+    # out layout: batch..., lfree..., rfree..., lane
+    # Align both to: batch..., lfree..., rfree..., contract..., lane then
+    # reduce the contract block.
+    l_perm = list(lb) + lfree + list(lc) + [lhs_rank]
+    r_perm = list(rb) + rfree + list(rc) + [rhs_rank]
+    lt = jax.lax.transpose(lhs, l_perm)
+    rt = jax.lax.transpose(rhs, r_perm)
+    nb, nlf, nrf, nc = len(lb), len(lfree), len(rfree), len(lc)
+    # broadcast both to the full (b..., lf..., rf..., c..., B) shape with
+    # explicit broadcast_in_dim — singleton-inserting reshapes are
+    # unsupported shape casts in Mosaic.
+    bsh = lt.shape[:nb]
+    lfs = lt.shape[nb: nb + nlf]
+    csh = lt.shape[nb + nlf: nb + nlf + nc]
+    rfs = rt.shape[nb: nb + nrf]
+    full = bsh + lfs + rfs + csh + (lt.shape[-1],)
+    rank = len(full)
+    l_dims = tuple(range(nb + nlf)) + tuple(range(nb + nlf + nrf, rank))
+    r_dims = tuple(range(nb)) + tuple(range(nb + nlf, rank))
+    lt = jax.lax.broadcast_in_dim(lt, full, l_dims)
+    rt = jax.lax.broadcast_in_dim(rt, full, r_dims)
+    prod = lt * rt  # (b..., lf..., rf..., c..., B)
+    axes = tuple(range(nb + nlf + nrf, nb + nlf + nrf + nc))
+    return jnp.sum(prod, axis=axes) if axes else prod
+
+
+def lane_eval(
+    jaxpr: jcore.Jaxpr,
+    consts: Sequence[Any],
+    args: Sequence[Any],
+    args_batched: Sequence[bool],
+    B: int,
+    literal_vals: Dict[Tuple, jax.Array] = None,
+    pre_env: Dict[Any, jax.Array] = None,
+) -> List[jax.Array]:
+    """Evaluate `jaxpr` with selected args carrying a trailing lane-batch
+    axis of size B. Returns outputs, each batched (broadcast if the
+    corresponding output turned out constant across the batch).
+
+    `literal_vals` maps `_lit_key` of non-scalar jaxpr Literals to values
+    already inside the kernel (see `collect_array_literals`). `pre_env`
+    maps jaxpr vars to precomputed unbatched values (`hoist_unbatched`);
+    when given, equations not needed for the outputs are skipped."""
+    env: Dict[Any, Any] = {}
+    is_b: Dict[Any, bool] = {}
+
+    def read(v):
+        if isinstance(v, Literal):
+            val = np.asarray(v.val)
+            if val.ndim >= 1 and literal_vals is not None:
+                return literal_vals[_lit_key(val)], False
+            return v.val, False
+        return env[v], is_b[v]
+
+    def write(v, val, b):
+        env[v] = val
+        is_b[v] = b
+
+    for cv, c in zip(jaxpr.constvars, consts):
+        write(cv, c, False)
+    for av, a, b in zip(jaxpr.invars, args, args_batched):
+        write(av, a, bool(b))
+    if pre_env:
+        for v, val in pre_env.items():
+            write(v, val, False)
+
+    if pre_env is not None:
+        # liveness filter: only equations needed for the outputs, given
+        # that pre_env already provides the unbatched boundary values.
+        live = {v for v in jaxpr.outvars
+                if not isinstance(v, Literal) and v not in env}
+        needed = []
+        for eqn in reversed(jaxpr.eqns):
+            if any(ov in live for ov in eqn.outvars):
+                needed.append(eqn)
+                for v in eqn.invars:
+                    if not isinstance(v, Literal) and v not in env:
+                        live.add(v)
+        needed.reverse()
+        eqns = needed
+    else:
+        eqns = jaxpr.eqns
+
+    for eqn in eqns:
+        prim = eqn.primitive.name
+        ins = [read(v) for v in eqn.invars]
+        vals = [v for v, _ in ins]
+        bs = [b for _, b in ins]
+        any_b = any(bs)
+
+        if not any_b:
+            # fully unbatched subgraph (model constants): evaluate natively,
+            # except dot_general — Mosaic's small-vector multi_reduction
+            # path is unsupported, so decompose it the same way (dummy
+            # single-lane axis).
+            if prim == "dot_general":
+                out = _dot_general_lanes(
+                    vals[0][..., None], vals[1][..., None],
+                    eqn.params["dimension_numbers"], 1,
+                )[..., 0]
+                pd = eqn.params.get("preferred_element_type")
+                if pd is not None and out.dtype != pd:
+                    out = out.astype(pd)
+                write(eqn.outvars[0], out, False)
+                continue
+            out = eqn.primitive.bind(*vals, **eqn.params)
+            outs = out if eqn.primitive.multiple_results else [out]
+            for ov, o in zip(eqn.outvars, outs):
+                write(ov, o, False)
+            continue
+
+        if prim in _ELEMENTWISE or prim in _DTYPE_OPS:
+            # scalar literals may appear rank-mismatched in the jaxpr;
+            # broadcast everything to the common unbatched shape first
+            ushapes = [v.shape[:-1] if b else np.shape(v) for v, b in ins]
+            tgt = np.broadcast_shapes(*ushapes) if ins else ()
+            vb = []
+            for (v, b), us in zip(ins, ushapes):
+                if us != tgt:
+                    if b:
+                        v = jnp.broadcast_to(v, tgt + v.shape[-1:])
+                    elif not isinstance(v, jcore.Tracer) and np.ndim(v) == 0:
+                        a = np.asarray(v)
+                        vb.append(jax.lax.full(tgt + (B,), a.item(), a.dtype))
+                        continue
+                    else:
+                        v = jnp.broadcast_to(v, tgt)
+                vb.append(_bcast(v, b, B))
+            out = eqn.primitive.bind(*vb, **eqn.params)
+            outs = out if eqn.primitive.multiple_results else [out]
+            for ov, o in zip(eqn.outvars, outs):
+                write(ov, o, True)
+
+        elif prim == "broadcast_in_dim":
+            shape = tuple(eqn.params["shape"])
+            bdims = tuple(eqn.params["broadcast_dimensions"])
+            out = jax.lax.broadcast_in_dim(
+                vals[0], shape + (B,), bdims + (len(shape),)
+            )
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "reshape":
+            new_sizes = tuple(eqn.params["new_sizes"])
+            out = jax.lax.reshape(vals[0], new_sizes + (B,))
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "transpose":
+            perm = tuple(eqn.params["permutation"])
+            out = jax.lax.transpose(vals[0], perm + (len(perm),))
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "squeeze":
+            out = jax.lax.squeeze(vals[0], eqn.params["dimensions"])
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "expand_dims":
+            out = jax.lax.expand_dims(vals[0], eqn.params["dimensions"])
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "slice":
+            p = eqn.params
+            starts = tuple(p["start_indices"]) + (0,)
+            limits = tuple(p["limit_indices"]) + (B,)
+            strides = p["strides"]
+            strides = (tuple(strides) + (1,)) if strides is not None else None
+            out = jax.lax.slice(vals[0], starts, limits, strides)
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "rev":
+            out = jax.lax.rev(vals[0], eqn.params["dimensions"])
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "concatenate":
+            vb = [_bcast(v, b, B) for v, b in ins]
+            out = jax.lax.concatenate(vb, eqn.params["dimension"])
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "split":
+            outs = jax.lax.split(vals[0], eqn.params["sizes"],
+                                 eqn.params["axis"])
+            for ov, o in zip(eqn.outvars, outs):
+                write(ov, o, True)
+
+        elif prim in _REDUCE_OPS:
+            axes = tuple(eqn.params["axes"])
+            p = {k: v for k, v in eqn.params.items() if k not in ("axes",)}
+            out = eqn.primitive.bind(_bcast(vals[0], bs[0], B), axes=axes, **p)
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "dot_general":
+            lhs = _bcast(vals[0], bs[0], B)
+            rhs = _bcast(vals[1], bs[1], B)
+            out = _dot_general_lanes(lhs, rhs, eqn.params["dimension_numbers"], B)
+            pd = eqn.params.get("preferred_element_type")
+            if pd is not None and out.dtype != pd:
+                out = out.astype(pd)
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "dynamic_slice":
+            # operand batched, indices static/unbatched scalars
+            op = vals[0]
+            idx = vals[1:]
+            if any(bs[1:]):
+                raise NotImplementedError("lane_eval: batched dynamic_slice index")
+            sizes = tuple(eqn.params["slice_sizes"]) + (B,)
+            zero = jnp.zeros((), dtype=idx[0].dtype) if idx else jnp.zeros((), jnp.int32)
+            out = jax.lax.dynamic_slice(_bcast(op, bs[0], B), tuple(idx) + (zero,), sizes)
+            write(eqn.outvars[0], out, True)
+
+        elif prim == "dynamic_update_slice":
+            op, upd = vals[0], vals[1]
+            idx = vals[2:]
+            if any(bs[2:]):
+                raise NotImplementedError("lane_eval: batched dynamic_update_slice index")
+            zero = jnp.zeros((), dtype=idx[0].dtype) if idx else jnp.zeros((), jnp.int32)
+            out = jax.lax.dynamic_update_slice(
+                _bcast(op, bs[0], B), _bcast(upd, bs[1], B), tuple(idx) + (zero,)
+            )
+            write(eqn.outvars[0], out, True)
+
+        elif prim in ("jit", "pjit", "closed_call", "core_call", "xla_call"):
+            sub = eqn.params["jaxpr"]
+            sub_jaxpr = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+            sub_consts = _remap_consts(
+                sub.consts if hasattr(sub, "consts") else [], literal_vals
+            )
+            outs = lane_eval(sub_jaxpr, sub_consts, vals, bs, B, literal_vals)
+            for ov, o in zip(eqn.outvars, outs):
+                write(ov, o, True)
+
+        elif prim in ("custom_jvp_call", "custom_vjp_call",
+                      "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr"):
+            sub = eqn.params.get("call_jaxpr") or eqn.params.get("fun_jaxpr")
+            sub_jaxpr = sub.jaxpr if hasattr(sub, "jaxpr") else sub
+            sub_consts = _remap_consts(
+                sub.consts if hasattr(sub, "consts") else [], literal_vals
+            )
+            outs = lane_eval(sub_jaxpr, sub_consts, vals, bs, B, literal_vals)
+            for ov, o in zip(eqn.outvars, outs):
+                write(ov, o, True)
+
+        elif prim == "stop_gradient":
+            write(eqn.outvars[0], vals[0], bs[0])
+
+        else:
+            raise NotImplementedError(
+                f"lane_eval: primitive '{prim}' not supported (shape-unrolled "
+                f"dynamics should not contain it); eqn: {eqn}"
+            )
+
+    outs = []
+    for ov in jaxpr.outvars:
+        v, b = read(ov)
+        outs.append(_bcast(v, b, B))
+    return outs

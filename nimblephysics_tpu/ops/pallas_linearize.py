@@ -1,0 +1,207 @@
+"""Fused Pallas TPU kernel: batched dynamics linearization for iLQR.
+
+The iLQR backward pass needs (fx, fu) = ∂step/∂(x, u) at every point of
+every rollout — B·T ≈ 10^5 evaluations of a tiny (nx≈4–40) articulated-body
+step per replan iteration. As plain XLA (`vmap(vmap(jacfwd(dyn)))`) this
+was the measured bulk of an MPC replan (~36 ms of a 58 ms iteration at
+B=1024, H=100): every small tensor in the 500–2000-op ABA graph is laid
+out batch-first, so each op uses a handful of the 128 VPU lanes and the
+whole sweep runs ~30x off speed-of-light.
+
+This kernel evaluates the SAME jaxpr — `jax.jacfwd` of the contact-free
+step, traced once at per-world shapes — inside one `pallas_call` with the
+batch pinned to the lane axis via `ops/lanevmap.lane_eval`. Every op
+becomes (tiny..., block_b) with block_b worlds on lanes; Mosaic compiles
+the whole sweep to a single kernel with zero HLO launch overhead and full
+lane occupancy. Model parameters (the pytree leaves the jaxpr closes
+over) are passed as unbatched kernel inputs.
+
+Reference analogue: the per-step Jacobians `BackpropSnapshot` assembles
+analytically per joint type (/root/reference/dart/neural/
+BackpropSnapshot.cpp:980, Skeleton::getJacobianOfMinv_ID) — here derived
+mechanically from the traced step, so every joint type the framework
+supports is covered automatically.
+
+Forward-only (the planner's linearization is not differentiated through).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nimblephysics_tpu.models.model import Model, State
+from nimblephysics_tpu.ops.lanevmap import (
+    _lit_key,
+    collect_array_literals,
+    hoist_unbatched,
+    lane_eval,
+)
+from nimblephysics_tpu.simulation.step import forward_step
+
+
+def dyn_for_trace(model: Model) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """The planner dynamics x' = f(x, u) in scatter/gather-free form
+    (Mosaic cannot lower scatter): the action→tau map is unrolled into a
+    static stack instead of `Model.action_to_tau`'s indexed scatter."""
+    act = list(model.actuated)
+    nq = model.nq
+
+    def dyn(x: jax.Array, u: jax.Array) -> jax.Array:
+        s = State.from_flat(x)
+        cols = [
+            u[act.index(i)] if i in act else jnp.zeros((), x.dtype)
+            for i in range(nq)
+        ]
+        tau = jnp.stack(cols)
+        return forward_step(model, s, tau).flat()
+
+    return dyn
+
+
+def _to2d(a: jax.Array) -> jax.Array:
+    a = jnp.asarray(a)
+    if a.dtype == jnp.bool_:
+        a = a.astype(jnp.int32)
+    if a.ndim == 0:
+        return a.reshape(1, 1)
+    if a.ndim == 1:
+        return a.reshape(1, -1)
+    return a.reshape(-1, a.shape[-1])
+
+
+def _const_spec(a: jax.Array) -> pl.BlockSpec:
+    shape = a.shape
+
+    def _zero(i, _shape=shape):
+        return tuple(0 for _ in _shape)
+
+    return pl.BlockSpec(shape, _zero, memory_space=pltpu.VMEM)
+
+
+def _restore(v: jax.Array, shape: Tuple[int, ...], dtype) -> jax.Array:
+    out = v.reshape(shape)
+    if out.dtype != dtype:
+        out = out.astype(dtype)
+    return out
+
+
+def linearize_pallas(
+    model: Model,
+    xs: jax.Array,      # (B, T, nx) pre-step states
+    u: jax.Array,       # (B, T, na)
+    block_b: int = 1024,
+    interpret: bool = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(fx, fu) with fx (B, T, nx, nx), fu (B, T, nx, na): Jacobians of the
+    contact-free step at every trajectory point, as ONE fused kernel.
+
+    Rather than tracing `jacfwd` (whose Jacobian assembly creates rank-4
+    tangent-stacked intermediates Mosaic cannot relayout), the kernel
+    evaluates the JVP with the (nx+na) basis-tangent directions folded
+    into the LANE batch: lane (n, k) computes column k of point n's
+    Jacobian. Every intermediate keeps the per-world rank (≤3 + lane)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, nx = xs.shape
+    na = u.shape[-1]
+    dtype = xs.dtype
+
+    dyn = dyn_for_trace(model)
+
+    def jvp_fn(x, uu, dx, du):
+        _, t = jax.jvp(dyn, (x, uu), (dx, du))
+        return t
+
+    closed = jax.make_jaxpr(jvp_fn)(
+        jnp.zeros(nx, dtype), jnp.zeros(na, dtype),
+        jnp.zeros(nx, dtype), jnp.zeros(na, dtype),
+    )
+    # Const-only subgraph (body inertias etc. from model parameters) is
+    # evaluated HERE, once per trace; only the boundary values batched
+    # equations consume enter the kernel.
+    bvars, bvals = hoist_unbatched(
+        closed.jaxpr, closed.consts, [True, True, True, True]
+    )
+    # zero-size values can't be kernel inputs — synthesize them inside
+    empty = [(v, jnp.asarray(b)) for v, b in zip(bvars, bvals)
+             if jnp.asarray(b).size == 0]
+    kept = [(v, jnp.asarray(b)) for v, b in zip(bvars, bvals)
+            if jnp.asarray(b).size != 0]
+    bvars = [v for v, _ in kept]
+    bvals = [b for _, b in kept]
+    literals = collect_array_literals(closed.jaxpr)
+    consts = [jnp.asarray(v) for v in bvals] + [jnp.asarray(l) for l in literals]
+    const2d = [_to2d(c) for c in consts]
+    const_meta = [(c.shape, c.dtype) for c in consts]
+    n_boundary = len(bvals)
+
+    K = nx + na
+    N = B * T * K                       # lanes: (point, tangent) pairs
+    N_pad = -(-N // block_b) * block_b
+
+    pts_x = jnp.repeat(xs.reshape(B * T, nx), K, axis=0)      # (N, nx)
+    pts_u = jnp.repeat(u.reshape(B * T, na), K, axis=0)       # (N, na)
+    basis = jnp.tile(jnp.eye(K, dtype=dtype), (B * T, 1))     # (N, K)
+    dx = basis[:, :nx]
+    du = basis[:, nx:]
+
+    def lanes(a):
+        aT = a.T
+        if N_pad != N:
+            aT = jnp.pad(aT, ((0, 0), (0, N_pad - N)))
+        return aT
+
+    xT, uT, dxT, duT = lanes(pts_x), lanes(pts_u), lanes(dx), lanes(du)
+
+    n_const = len(const2d)
+
+    def kernel(*refs):
+        const_refs = refs[:n_const]
+        x_ref, u_ref, dx_ref, du_ref, t_ref = refs[n_const:]
+        cvals = [
+            _restore(cr[...], shape, dt)
+            for cr, (shape, dt) in zip(const_refs, const_meta)
+        ]
+        lit_vals = {
+            _lit_key(np.asarray(l)): v
+            for l, v in zip(literals, cvals[n_boundary:])
+        }
+        pre = dict(zip(bvars, cvals[:n_boundary]))
+        for v, e in empty:
+            pre[v] = jnp.zeros(e.shape, e.dtype)
+        (t,) = lane_eval(
+            closed.jaxpr, [],
+            [x_ref[...], u_ref[...], dx_ref[...], du_ref[...]],
+            [True, True, True, True], block_b,
+            literal_vals=lit_vals,
+            pre_env=pre,
+        )
+        t_ref[...] = t
+
+    grid = (N_pad // block_b,)
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    t_p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_const_spec(c) for c in const2d]
+        + [lane_spec(nx), lane_spec(na), lane_spec(nx), lane_spec(na)],
+        out_specs=lane_spec(nx),
+        out_shape=jax.ShapeDtypeStruct((nx, N_pad), dtype),
+        interpret=interpret,
+    )(*const2d, xT, uT, dxT, duT)
+
+    # t_p[:, n*K + k] = J(point n) @ e_k  ->  (B, T, K, nx) -> Jacobians
+    cols = t_p[:, :N].T.reshape(B, T, K, nx)
+    fx = jnp.swapaxes(cols[:, :, :nx, :], 2, 3)   # (B, T, nx, nx)
+    fu = jnp.swapaxes(cols[:, :, nx:, :], 2, 3)   # (B, T, nx, na)
+    return fx, fu

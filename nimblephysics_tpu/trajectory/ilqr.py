@@ -52,6 +52,14 @@ class ILQRConfig:
     #     on TPU where the sequential scan's ~T tiny-matrix latency chain
     #     dominates the solve.
     riccati: str = "sequential"
+    # Linearization sweep in ilqr_solve_batch:
+    #   "auto": the fused lane-batched Pallas kernel
+    #     (ops/pallas_linearize.py) when the model is contact-free —
+    #     measured ~4x faster than the XLA jacfwd sweep at B=1024, H=100
+    #     AND ~1e4x closer to float64 (the XLA TPU path's transcendentals
+    #     are low-precision); falls back to XLA jacfwd otherwise.
+    #   "xla": always the vmapped jacfwd sweep.
+    linearize: str = "auto"
 
 
 class ILQRSolution(NamedTuple):
@@ -395,7 +403,15 @@ def ilqr_solve_batch(
 
     rollout_gains = jax.vmap(rollout_gains_one, in_axes=(0, 0, 0, 0, 0, None))
 
-    dyn_jac = jax.vmap(jax.vmap(jax.jacfwd(dyn, argnums=(0, 1))))
+    from nimblephysics_tpu.ops.contact import lcp_dim
+
+    if config.linearize == "auto" and lcp_dim(model) == 0 and na > 0:
+        from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
+
+        def dyn_jac(xs_bt, u_bt):
+            return linearize_pallas(model, xs_bt, u_bt, block_b=block_b)
+    else:
+        dyn_jac = jax.vmap(jax.vmap(jax.jacfwd(dyn, argnums=(0, 1))))
     cost_grad = jax.vmap(jax.vmap(jax.grad(running_cost, argnums=(0, 1))))
 
     def hess_one(x, u_t, t):
