@@ -152,6 +152,70 @@ def hoist_unbatched(
     return boundary, [env[v] for v in boundary]
 
 
+class LaneFn:
+    """A function traced once at per-world shapes, prepared for lane-batched
+    evaluation inside a Pallas kernel.
+
+    Host side: `consts2d` are the values to pass as (unbatched) kernel
+    inputs — the hoisted const-graph boundary plus any array literals, each
+    reshaped 2-D (`to2d`). Kernel side: `call(cvals, args, B)` evaluates the
+    function with every arg carrying a trailing lane axis of size B, where
+    `cvals` are the kernel-ref reads of `consts2d` in order."""
+
+    def __init__(self, fn, example_args):
+        self.closed = jax.make_jaxpr(fn)(*example_args)
+        n_args = len(jax.tree_util.tree_leaves(example_args))
+        bvars, bvals = hoist_unbatched(
+            self.closed.jaxpr, self.closed.consts, [True] * n_args
+        )
+        self.empty = [(v, jnp.asarray(b)) for v, b in zip(bvars, bvals)
+                      if jnp.asarray(b).size == 0]
+        kept = [(v, jnp.asarray(b)) for v, b in zip(bvars, bvals)
+                if jnp.asarray(b).size != 0]
+        self.bvars = [v for v, _ in kept]
+        self.literals = collect_array_literals(self.closed.jaxpr)
+        consts = [b for _, b in kept] + [jnp.asarray(l) for l in self.literals]
+        self.meta = [(c.shape, c.dtype) for c in consts]
+        self.consts2d = [self.to2d(c) for c in consts]
+        self.n_boundary = len(kept)
+
+    @staticmethod
+    def to2d(a):
+        a = jnp.asarray(a)
+        if a.dtype == jnp.bool_:
+            a = a.astype(jnp.int32)
+        if a.ndim == 0:
+            return a.reshape(1, 1)
+        if a.ndim == 1:
+            return a.reshape(1, -1)
+        return a.reshape(-1, a.shape[-1])
+
+    @property
+    def n_consts(self) -> int:
+        return len(self.consts2d)
+
+    def call(self, cvals2d, args, B):
+        """Evaluate inside a kernel. cvals2d: reads of the const refs
+        (2-D); args: lane-batched values (..., B)."""
+        cvals = []
+        for c, (shape, dt) in zip(cvals2d, self.meta):
+            v = c.reshape(shape)
+            if v.dtype != dt:
+                v = v.astype(dt)
+            cvals.append(v)
+        lit_vals = {
+            _lit_key(np.asarray(l)): v
+            for l, v in zip(self.literals, cvals[self.n_boundary:])
+        }
+        pre = dict(zip(self.bvars, cvals[:self.n_boundary]))
+        for v, e in self.empty:
+            pre[v] = jnp.zeros(e.shape, e.dtype)
+        return lane_eval(
+            self.closed.jaxpr, [], args, [True] * len(args), B,
+            literal_vals=lit_vals, pre_env=pre,
+        )
+
+
 def _remap_consts(consts, literal_vals):
     """Swap inner-jaxpr closure constants for their kernel-input values."""
     if not literal_vals:

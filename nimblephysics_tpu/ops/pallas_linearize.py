@@ -30,20 +30,13 @@ from __future__ import annotations
 from functools import partial
 from typing import Callable, List, Sequence, Tuple
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nimblephysics_tpu.models.model import Model, State
-from nimblephysics_tpu.ops.lanevmap import (
-    _lit_key,
-    collect_array_literals,
-    hoist_unbatched,
-    lane_eval,
-)
+from nimblephysics_tpu.ops.lanevmap import LaneFn
 from nimblephysics_tpu.simulation.step import forward_step
 
 
@@ -66,31 +59,15 @@ def dyn_for_trace(model: Model) -> Callable[[jax.Array, jax.Array], jax.Array]:
     return dyn
 
 
-def _to2d(a: jax.Array) -> jax.Array:
-    a = jnp.asarray(a)
-    if a.dtype == jnp.bool_:
-        a = a.astype(jnp.int32)
-    if a.ndim == 0:
-        return a.reshape(1, 1)
-    if a.ndim == 1:
-        return a.reshape(1, -1)
-    return a.reshape(-1, a.shape[-1])
-
-
 def _const_spec(a: jax.Array) -> pl.BlockSpec:
     shape = a.shape
+    rank = len(shape)
 
-    def _zero(i, _shape=shape):
-        return tuple(0 for _ in _shape)
+    def _zero(*_grid):
+        return (0,) * rank
 
     return pl.BlockSpec(shape, _zero, memory_space=pltpu.VMEM)
 
-
-def _restore(v: jax.Array, shape: Tuple[int, ...], dtype) -> jax.Array:
-    out = v.reshape(shape)
-    if out.dtype != dtype:
-        out = out.astype(dtype)
-    return out
 
 
 def linearize_pallas(
@@ -120,28 +97,8 @@ def linearize_pallas(
         _, t = jax.jvp(dyn, (x, uu), (dx, du))
         return t
 
-    closed = jax.make_jaxpr(jvp_fn)(
-        jnp.zeros(nx, dtype), jnp.zeros(na, dtype),
-        jnp.zeros(nx, dtype), jnp.zeros(na, dtype),
-    )
-    # Const-only subgraph (body inertias etc. from model parameters) is
-    # evaluated HERE, once per trace; only the boundary values batched
-    # equations consume enter the kernel.
-    bvars, bvals = hoist_unbatched(
-        closed.jaxpr, closed.consts, [True, True, True, True]
-    )
-    # zero-size values can't be kernel inputs — synthesize them inside
-    empty = [(v, jnp.asarray(b)) for v, b in zip(bvars, bvals)
-             if jnp.asarray(b).size == 0]
-    kept = [(v, jnp.asarray(b)) for v, b in zip(bvars, bvals)
-            if jnp.asarray(b).size != 0]
-    bvars = [v for v, _ in kept]
-    bvals = [b for _, b in kept]
-    literals = collect_array_literals(closed.jaxpr)
-    consts = [jnp.asarray(v) for v in bvals] + [jnp.asarray(l) for l in literals]
-    const2d = [_to2d(c) for c in consts]
-    const_meta = [(c.shape, c.dtype) for c in consts]
-    n_boundary = len(bvals)
+    z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
+    lf = LaneFn(jvp_fn, (z(nx), z(na), z(nx), z(na)))
 
     K = nx + na
     N = B * T * K                       # lanes: (point, tangent) pairs
@@ -161,28 +118,13 @@ def linearize_pallas(
 
     xT, uT, dxT, duT = lanes(pts_x), lanes(pts_u), lanes(dx), lanes(du)
 
-    n_const = len(const2d)
-
     def kernel(*refs):
-        const_refs = refs[:n_const]
-        x_ref, u_ref, dx_ref, du_ref, t_ref = refs[n_const:]
-        cvals = [
-            _restore(cr[...], shape, dt)
-            for cr, (shape, dt) in zip(const_refs, const_meta)
-        ]
-        lit_vals = {
-            _lit_key(np.asarray(l)): v
-            for l, v in zip(literals, cvals[n_boundary:])
-        }
-        pre = dict(zip(bvars, cvals[:n_boundary]))
-        for v, e in empty:
-            pre[v] = jnp.zeros(e.shape, e.dtype)
-        (t,) = lane_eval(
-            closed.jaxpr, [],
+        const_refs = refs[:lf.n_consts]
+        x_ref, u_ref, dx_ref, du_ref, t_ref = refs[lf.n_consts:]
+        (t,) = lf.call(
+            [cr[...] for cr in const_refs],
             [x_ref[...], u_ref[...], dx_ref[...], du_ref[...]],
-            [True, True, True, True], block_b,
-            literal_vals=lit_vals,
-            pre_env=pre,
+            block_b,
         )
         t_ref[...] = t
 
@@ -193,12 +135,12 @@ def linearize_pallas(
     t_p = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[_const_spec(c) for c in const2d]
+        in_specs=[_const_spec(c) for c in lf.consts2d]
         + [lane_spec(nx), lane_spec(na), lane_spec(nx), lane_spec(na)],
         out_specs=lane_spec(nx),
         out_shape=jax.ShapeDtypeStruct((nx, N_pad), dtype),
         interpret=interpret,
-    )(*const2d, xT, uT, dxT, duT)
+    )(*lf.consts2d, xT, uT, dxT, duT)
 
     # t_p[:, n*K + k] = J(point n) @ e_k  ->  (B, T, K, nx) -> Jacobians
     cols = t_p[:, :N].T.reshape(B, T, K, nx)

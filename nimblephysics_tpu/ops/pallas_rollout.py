@@ -1,0 +1,221 @@
+"""Fused Pallas TPU kernel: gain-rollout line search for iLQR.
+
+An iLQR iteration closes the loop with `u = u_ref + α·k + K(x − x_ref)`
+rolled forward for a ladder of A step sizes α, then keeps each world's
+best candidate (reference analogue: IPOPT's line search inside
+`IPOptShotWrapper`, /root/reference/dart/trajectory/IPOptShotWrapper.hpp,
+done world-parallel here). As an XLA scan over T steps this costs a
+kernel-launch round trip per step; this kernel runs the WHOLE closed-loop
+rollout — control law + clamp + running cost + dynamics step — on the VPU
+with (α, world) pairs on the lane axis:
+
+  * one traced per-step function (`step_fn`: gains → clamp → cost → step)
+    evaluated with `ops/lanevmap.LaneFn`, every op (tiny..., block) lanes,
+  * the time loop is chunked on the innermost grid dim (forward order);
+    the state/cost carry lives in VMEM scratch across chunks,
+  * per-step inputs (x_ref, u_ref, K, k) are packed into one (T, E, L)
+    array — one DMA per chunk,
+  * T is padded up to a chunk multiple; padded steps are masked out via
+    the step index (state and cost carry unchanged),
+  * the terminal cost is added in the last chunk.
+
+Outputs the candidate trajectories, controls, and total costs for ALL
+alphas; the caller argmins over the alpha axis (trajectory/ilqr.py).
+Forward-only (the planner's line search is not differentiated through).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nimblephysics_tpu.models.model import Model
+from nimblephysics_tpu.ops.lanevmap import LaneFn
+from nimblephysics_tpu.ops.pallas_linearize import dyn_for_trace, _const_spec
+
+
+def _pad8(e: int) -> int:
+    return -(-e // 8) * 8
+
+
+def _rollout_kernel(
+    lf: LaneFn, nx: int, na: int, t_chunk: int, n_chunks: int, T: int,
+    block: int,
+    *refs,
+):
+    n_c = lf.n_consts
+    const_refs = refs[:n_c]
+    steps_ref, x0_ref, alpha_ref = refs[n_c: n_c + 3]
+    out_ref, cost_ref, carry_s = refs[n_c + 3:]
+
+    c = pl.program_id(1)
+    cvals = [cr[...] for cr in const_refs]
+    alpha = alpha_ref[0]
+
+    @pl.when(c == 0)
+    def _():
+        x0 = x0_ref[...]
+        init = [x0[i] for i in range(nx)] + [jnp.zeros_like(alpha)]
+        init += [jnp.zeros_like(alpha)] * (carry_s.shape[0] - len(init))
+        carry_s[...] = jnp.stack(init)
+
+    carry = carry_s[...]
+    x = [carry[i] for i in range(nx)]
+    cost = carry[nx]
+
+    oxr, our, oK, ok_ = 0, nx, nx + na, nx + na + na * nx
+    for r in range(t_chunk):
+        st = steps_ref[r]
+        t_idx = c * t_chunk + r
+        t_lane = jnp.full((block,), t_idx, jnp.float32)
+        xv = jnp.stack(x)
+        xref = st[oxr: oxr + nx]
+        uref = st[our: our + na]
+        Kt = st[oK: oK + na * nx]
+        kt = st[ok_: ok_ + na]
+        x2, u, c_t = lf.call(cvals, [xv, xref, uref, Kt, kt, alpha, t_lane],
+                             block)
+        live = (jnp.full((block,), t_idx, jnp.int32) < T)
+        x = [jnp.where(live, x2[i], x[i]) for i in range(nx)]
+        cost = cost + jnp.where(live, c_t, jnp.zeros_like(c_t))
+        out_ref[r] = jnp.concatenate(
+            [jnp.stack(x), u, jnp.zeros(
+                (out_ref.shape[1] - nx - na, block), x2.dtype)], axis=0
+        )
+
+    row = [x[i] for i in range(nx)] + [cost]
+    row += [jnp.zeros_like(cost)] * (carry_s.shape[0] - len(row))
+    carry_s[...] = jnp.stack(row)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        cost_ref[...] = jnp.stack(
+            [cost] + [jnp.zeros_like(cost)] * (cost_ref.shape[0] - 1)
+        )
+
+
+def rollout_gains_pallas(
+    model: Model,
+    running_cost: Callable,
+    final_cost: Callable,
+    x0: jax.Array,       # (B, nx)
+    xs_ref: jax.Array,   # (B, T+1, nx) reference trajectory
+    u_ref: jax.Array,    # (B, T, na)
+    K: jax.Array,        # (B, T, na, nx)
+    k: jax.Array,        # (B, T, na)
+    alphas: jax.Array,   # (A,)
+    block_b: int = 1024,
+    t_chunk: int = None,
+    interpret: bool = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Closed-loop rollouts for every (alpha, world) pair in one kernel.
+
+    Returns (xs2, us, costs): xs2 (A, B, T+1, nx) candidate trajectories,
+    us (A, B, T, na) clamped controls, costs (A, B) total trajectory costs
+    (running + terminal) — semantically `vmap(rollout_with_gains)` over
+    the alpha ladder as in trajectory/ilqr.py."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, na = u_ref.shape
+    nx = x0.shape[-1]
+    A = alphas.shape[0]
+    dtype = x0.dtype
+
+    dyn = dyn_for_trace(model)
+    idx = jnp.asarray(model.actuated, dtype=jnp.int32)
+    u_lo = jnp.asarray(model.tau_lower)[idx]
+    u_hi = jnp.asarray(model.tau_upper)[idx]
+
+    def step_fn(x, xref, uref, Kt_flat, kt, alpha, t):
+        du = alpha * kt + Kt_flat.reshape(na, nx) @ (x - xref)
+        u = jnp.clip(uref + du, u_lo, u_hi)
+        c = running_cost(x, u, t)
+        x2 = dyn(x, u)
+        return x2, u, c
+
+    z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
+    lf = LaneFn(step_fn, (z(nx), z(nx), z(na), z(na * nx), z(na),
+                          jnp.zeros((), dtype), jnp.zeros((), dtype)))
+
+    L = A * B
+    L_pad = -(-L // block_b) * block_b
+    E = nx + na + na * nx + na
+    E_pad = _pad8(E)
+    if t_chunk is None:
+        t_chunk = 1 if interpret else max(
+            1, min(T, (1 << 21) // max(E_pad * block_b * 4, 1))
+        )
+    n_chunks = -(-T // t_chunk)
+    T_pad = n_chunks * t_chunk
+
+    def tile_lanes(a):
+        # (B, T, ...) -> (T_pad, rows, L_pad), lane index = a*B + b
+        rows = a.reshape(B, T, -1)
+        rows = jnp.tile(rows, (A, 1, 1))                    # (L, T, e)
+        rows = rows.transpose(1, 2, 0)                      # (T, e, L)
+        rows = jnp.pad(rows, ((0, T_pad - T), (0, 0), (0, L_pad - L)))
+        return rows
+
+    packed = jnp.concatenate(
+        [
+            tile_lanes(xs_ref[:, :-1]),
+            tile_lanes(u_ref),
+            tile_lanes(K),
+            tile_lanes(k),
+        ],
+        axis=1,
+    )
+    packed = jnp.pad(packed, ((0, 0), (0, E_pad - packed.shape[1]), (0, 0)))
+
+    x0_l = jnp.pad(jnp.tile(x0, (A, 1)).T, ((0, 0), (0, L_pad - L)))
+    alpha_l = jnp.pad(jnp.repeat(alphas, B)[None, :], ((0, 0), (0, L_pad - L)))
+
+    Eo_pad = _pad8(nx + na)
+    Lb = L_pad // block_b
+    grid = (Lb, n_chunks)
+
+    kernel = partial(_rollout_kernel, lf, nx, na, t_chunk, n_chunks, T,
+                     block_b)
+    out_p, cost_p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_const_spec(cs) for cs in lf.consts2d]
+        + [
+            pl.BlockSpec((t_chunk, E_pad, block_b),
+                         lambda lb, cc: (cc, 0, lb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nx, block_b), lambda lb, cc: (0, lb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_b), lambda lb, cc: (0, lb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_chunk, Eo_pad, block_b),
+                         lambda lb, cc: (cc, 0, lb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_b), lambda lb, cc: (0, lb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T_pad, Eo_pad, L_pad), dtype),
+            jax.ShapeDtypeStruct((8, L_pad), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((_pad8(nx + 1), block_b), dtype)],
+        interpret=interpret,
+    )(*lf.consts2d, packed, x0_l, alpha_l)
+
+    xu = out_p[:T, :, :L].transpose(2, 0, 1)        # (L, T, Eo_pad)
+    xs_steps = xu[:, :, :nx].reshape(A, B, T, nx)
+    us = xu[:, :, nx: nx + na].reshape(A, B, T, na)
+    x0_ab = jnp.broadcast_to(x0[None], (A, B, nx))
+    xs2 = jnp.concatenate([x0_ab[:, :, None, :], xs_steps], axis=2)
+
+    run_cost = cost_p[0, :L].reshape(A, B)
+    # terminal cost on the final states (one tiny vmapped eval in XLA)
+    fin = jax.vmap(jax.vmap(final_cost))(xs_steps[:, :, -1])
+    return xs2, us, run_cost + fin

@@ -405,8 +405,10 @@ def ilqr_solve_batch(
 
     from nimblephysics_tpu.ops.contact import lcp_dim
 
-    if config.linearize == "auto" and lcp_dim(model) == 0 and na > 0:
+    fused = config.linearize == "auto" and lcp_dim(model) == 0 and na > 0
+    if fused:
         from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
+        from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
 
         def dyn_jac(xs_bt, u_bt):
             return linearize_pallas(model, xs_bt, u_bt, block_b=block_b)
@@ -441,11 +443,19 @@ def ilqr_solve_batch(
 
         alphas = jnp.asarray(config.alphas, dtype=dtype)
 
-        def try_alpha(alpha):
-            xs2, u2 = rollout_gains(x0_flat, xs, u, K, k, alpha)
-            return traj_cost(xs2, u2), xs2, u2
+        if fused:
+            # the whole A-alpha closed-loop line search as one Pallas
+            # rollout kernel ((alpha, world) pairs on lanes)
+            xss, uss, costs = rollout_gains_pallas(
+                model, running_cost, final_cost,
+                x0_flat, xs, u, K, k, alphas, block_b=block_b,
+            )
+        else:
+            def try_alpha(alpha):
+                xs2, u2 = rollout_gains(x0_flat, xs, u, K, k, alpha)
+                return traj_cost(xs2, u2), xs2, u2
 
-        costs, xss, uss = jax.vmap(try_alpha)(alphas)   # (A,B), (A,B,...)
+            costs, xss, uss = jax.vmap(try_alpha)(alphas)  # (A,B), (A,B,...)
         best = jnp.argmin(costs, axis=0)                # (B,)
         barange = jnp.arange(B)
         new_cost = costs[best, barange]
