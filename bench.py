@@ -43,7 +43,7 @@ def main() -> None:
     model = relax_limits(builders.cartpole(dt=0.02))
     nq, na = model.nq, model.num_actions
     H = 100
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
     ITERS = int(os.environ.get("BENCH_ITERS", "8"))
     N_ALPHA = int(os.environ.get("BENCH_ALPHAS", "6"))
     ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)[:N_ALPHA]

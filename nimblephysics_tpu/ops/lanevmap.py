@@ -88,18 +88,24 @@ def collect_array_literals(jaxpr: jcore.Jaxpr) -> List[np.ndarray]:
                 seen[key] = True
                 order.append(val)
 
+    def visit_param(p):
+        if hasattr(p, "consts") and hasattr(p, "jaxpr"):
+            for c in p.consts:  # inner-closed-jaxpr constants
+                add(c)
+            walk(p.jaxpr)
+        elif hasattr(p, "eqns"):
+            walk(p)
+        elif isinstance(p, (tuple, list)):
+            for sub in p:
+                visit_param(sub)
+
     def walk(jx):
         for eqn in jx.eqns:
             for v in eqn.invars:
                 if isinstance(v, Literal):
                     add(v.val)
             for p in eqn.params.values():
-                if hasattr(p, "consts") and hasattr(p, "jaxpr"):
-                    for c in p.consts:  # inner-closed-jaxpr constants
-                        add(c)
-                    walk(p.jaxpr)
-                elif hasattr(p, "eqns"):
-                    walk(p)
+                visit_param(p)
 
     walk(jaxpr)
     return order
@@ -150,6 +156,29 @@ def hoist_unbatched(
             seen.add(ov)
             boundary.append(ov)
     return boundary, [env[v] for v in boundary]
+
+
+def count_eqns(jaxpr) -> int:
+    """Total equations including call sub-jaxprs — a proxy for the live
+    lane-value set a kernel holds in VMEM."""
+    n = len(jaxpr.eqns)
+    for eqn in jaxpr.eqns:
+        for p in eqn.params.values():
+            sub = getattr(p, "jaxpr", None)
+            if sub is not None and hasattr(sub, "eqns"):
+                n += count_eqns(sub)
+            elif hasattr(p, "eqns"):
+                n += count_eqns(p)
+    return n
+
+
+def fit_block(block_b: int, n_eqns: int, budget: int = 1_300_000) -> int:
+    """Shrink the lane-block size for large traced graphs so the kernel's
+    live values stay inside the ~16MB scoped-VMEM budget (empirical: the
+    ~1.1k-eqn cartpole step JVP fits at 1024 lanes)."""
+    while block_b > 128 and n_eqns * block_b > budget:
+        block_b //= 2
+    return block_b
 
 
 class LaneFn:
@@ -209,7 +238,10 @@ class LaneFn:
         }
         pre = dict(zip(self.bvars, cvals[:self.n_boundary]))
         for v, e in self.empty:
-            pre[v] = jnp.zeros(e.shape, e.dtype)
+            # concrete numpy empty: zero-size values must never enter the
+            # kernel trace (Mosaic has no 0-size vectors); consumers drop
+            # them (see lane_eval's zero-size guard)
+            pre[v] = np.zeros(e.shape, e.dtype)
         return lane_eval(
             self.closed.jaxpr, [], args, [True] * len(args), B,
             literal_vals=lit_vals, pre_env=pre,
@@ -232,14 +264,19 @@ def _remap_consts(consts, literal_vals):
 def _bcast(val: jax.Array, batched: bool, B: int) -> jax.Array:
     """Materialize an unbatched value to shape val.shape + (B,).
 
-    Concrete scalars lower via `lax.full` (an immediate in the kernel);
-    array-shaped intermediates like `scalar[..., None]` would otherwise be
-    captured as constants, which pallas_call forbids."""
+    Concrete (non-tracer) values lower via per-element `lax.full`
+    immediates — any array-shaped concrete intermediate would be captured
+    as a constant, which pallas_call forbids. These only arise from tiny
+    const leftovers inside call sub-jaxprs (the main const graph is hoisted
+    out by `hoist_unbatched`), so the element count is small."""
     if batched:
         return val
-    if not isinstance(val, jcore.Tracer) and np.ndim(val) == 0:
+    if not isinstance(val, jcore.Tracer):
         a = np.asarray(val)
-        return jax.lax.full((B,), a.item(), a.dtype)
+        if a.ndim == 0:
+            return jax.lax.full((B,), a.item(), a.dtype)
+        rows = [jax.lax.full((B,), x.item(), a.dtype) for x in a.ravel()]
+        return jnp.stack(rows).reshape(a.shape + (B,))
     return jnp.broadcast_to(val[..., None], val.shape + (B,))
 
 
@@ -337,24 +374,52 @@ def lane_eval(
 
     for eqn in eqns:
         prim = eqn.primitive.name
+
+        # Zero-size values cannot exist inside Mosaic kernels (e.g. the
+        # dof slice of a weld joint). Keep them as concrete numpy empties
+        # on the unbatched side; `concatenate` below drops them.
+        if eqn.outvars and all(
+            hasattr(ov, "aval") and int(np.prod(ov.aval.shape)) == 0
+            for ov in eqn.outvars
+        ):
+            for ov in eqn.outvars:
+                write(ov, np.zeros(ov.aval.shape, ov.aval.dtype), False)
+            continue
+
         ins = [read(v) for v in eqn.invars]
         vals = [v for v, _ in ins]
         bs = [b for _, b in ins]
         any_b = any(bs)
 
         if not any_b:
-            # fully unbatched subgraph (model constants): evaluate natively,
-            # except dot_general — Mosaic's small-vector multi_reduction
-            # path is unsupported, so decompose it the same way (dummy
+            # Fully CONCRETE subgraph (const leftovers inside call
+            # sub-jaxprs): evaluate eagerly OUTSIDE the ambient trace —
+            # binding under the kernel trace would record the op with its
+            # concrete inputs as captured constants, which pallas forbids.
+            if all(not isinstance(v, jcore.Tracer) for v in vals):
+                with jax.ensure_compile_time_eval():
+                    out = eqn.primitive.bind(*vals, **eqn.params)
+                outs = out if eqn.primitive.multiple_results else [out]
+                for ov, o in zip(eqn.outvars, outs):
+                    write(ov, np.asarray(o), False)
+                continue
+            # Unbatched but TRACED (boundary-value) subgraph: stays in the
+            # kernel; dot_general must be decomposed — Mosaic's
+            # small-vector multi_reduction path is unsupported (dummy
             # single-lane axis).
             if prim == "dot_general":
-                out = _dot_general_lanes(
-                    vals[0][..., None], vals[1][..., None],
-                    eqn.params["dimension_numbers"], 1,
-                )[..., 0]
-                pd = eqn.params.get("preferred_element_type")
-                if pd is not None and out.dtype != pd:
-                    out = out.astype(pd)
+                oav = eqn.outvars[0].aval
+                if any(int(np.prod(np.shape(v))) == 0 for v in vals):
+                    # contraction over an empty dim: exact zeros
+                    out = np.zeros(oav.shape, oav.dtype)
+                else:
+                    out = _dot_general_lanes(
+                        vals[0][..., None], vals[1][..., None],
+                        eqn.params["dimension_numbers"], 1,
+                    )[..., 0]
+                    pd = eqn.params.get("preferred_element_type")
+                    if pd is not None and out.dtype != pd:
+                        out = out.astype(pd)
                 write(eqn.outvars[0], out, False)
                 continue
             out = eqn.primitive.bind(*vals, **eqn.params)
@@ -425,7 +490,8 @@ def lane_eval(
             write(eqn.outvars[0], out, True)
 
         elif prim == "concatenate":
-            vb = [_bcast(v, b, B) for v, b in ins]
+            vb = [_bcast(v, b, B) for v, b in ins
+                  if int(np.prod(np.shape(v))) > 0]
             out = jax.lax.concatenate(vb, eqn.params["dimension"])
             write(eqn.outvars[0], out, True)
 
@@ -442,13 +508,22 @@ def lane_eval(
             write(eqn.outvars[0], out, True)
 
         elif prim == "dot_general":
-            lhs = _bcast(vals[0], bs[0], B)
-            rhs = _bcast(vals[1], bs[1], B)
-            out = _dot_general_lanes(lhs, rhs, eqn.params["dimension_numbers"], B)
-            pd = eqn.params.get("preferred_element_type")
-            if pd is not None and out.dtype != pd:
-                out = out.astype(pd)
-            write(eqn.outvars[0], out, True)
+            oav = eqn.outvars[0].aval
+            if any(int(np.prod(np.shape(v))) == 0 for v in vals):
+                # contraction over an empty dim: exact zeros (lax.full is
+                # an immediate; a zeros CONSTANT would be captured)
+                out = jax.lax.full(tuple(oav.shape) + (B,), 0.0, oav.dtype)
+                write(eqn.outvars[0], out, True)
+            else:
+                lhs = _bcast(vals[0], bs[0], B)
+                rhs = _bcast(vals[1], bs[1], B)
+                out = _dot_general_lanes(
+                    lhs, rhs, eqn.params["dimension_numbers"], B
+                )
+                pd = eqn.params.get("preferred_element_type")
+                if pd is not None and out.dtype != pd:
+                    out = out.astype(pd)
+                write(eqn.outvars[0], out, True)
 
         elif prim == "dynamic_slice":
             # operand batched, indices static/unbatched scalars

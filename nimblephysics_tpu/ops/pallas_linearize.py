@@ -99,6 +99,8 @@ def linearize_pallas(
 
     z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
     lf = LaneFn(jvp_fn, (z(nx), z(na), z(nx), z(na)))
+    from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
+    block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr))
 
     K = nx + na
     N = B * T * K                       # lanes: (point, tangent) pairs

@@ -256,6 +256,13 @@ def riccati_backward_pallas(
         interpret = jax.default_backend() != "tpu"
     B, T, nx, na = fu.shape[0], fu.shape[1], fu.shape[2], fu.shape[3]
     dtype = fx.dtype
+    # live lane values scale ~O(nx^2): shrink the lane block for larger
+    # state dims, and raise the scoped-VMEM limit rather than dropping
+    # below 256 lanes (2 vregs) — v5e has headroom above the 16MB default
+    est_live = 10 * (nx * nx + na * na + na * nx + nx)
+    while block_b > 256 and est_live * 4 * block_b > (8 << 20):
+        block_b //= 2
+    vmem_limit = min(100 << 20, max(16 << 20, 8 * est_live * 4 * block_b))
     B_pad = -(-B // block_b) * block_b
     pb = B_pad - B
 
@@ -342,6 +349,9 @@ def riccati_backward_pallas(
         scratch_shapes=[
             pltpu.VMEM((_pad8(nx + nxx + 3), block_b), dtype),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit
+        ),
         interpret=interpret,
     )(packed, const)
 

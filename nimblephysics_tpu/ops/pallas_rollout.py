@@ -141,6 +141,8 @@ def rollout_gains_pallas(
     z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
     lf = LaneFn(step_fn, (z(nx), z(nx), z(na), z(na * nx), z(na),
                           jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
+    block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr))
 
     L = A * B
     L_pad = -(-L // block_b) * block_b
