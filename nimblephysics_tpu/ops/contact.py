@@ -93,8 +93,9 @@ def _tangent_basis(n: jax.Array):
     """ODE-style tangent basis (ContactConstraint::getTangentBasisMatrixODE):
     first frictional direction is +Z with X fallback, made branch-free.
     Batched: n (..., 3) -> (t1, t2) each (..., 3)."""
-    z = jnp.zeros_like(n).at[..., 2].set(1.0)
-    x = jnp.zeros_like(n).at[..., 0].set(1.0)
+    # constant basis vectors via broadcast (scatter-free: lane-kernel safe)
+    z = jnp.zeros_like(n) + jnp.asarray([0.0, 0.0, 1.0], n.dtype)
+    x = jnp.zeros_like(n) + jnp.asarray([1.0, 0.0, 0.0], n.dtype)
     t_z = jnp.cross(z, n)
     t_x = jnp.cross(x, n)
     use_z = (jnp.sum(t_z * t_z, axis=-1) > 1e-12)[..., None]
@@ -106,12 +107,17 @@ def _tangent_basis(n: jax.Array):
 
 class ContactSolveInfo(NamedTuple):
     """Post-step constraint diagnostics (the BackpropSnapshot's recorded
-    quantities, exposed for tests and warm starting)."""
+    quantities, exposed for tests, warm starting, and the frozen-active-set
+    MPC fast path — the class masks are the reference's CLAMPING/UPPER_BOUND
+    classification, ConstrainedGroupGradientMatrices.cpp:518-608)."""
 
     impulses: jax.Array       # (m,) LCP solution
     contacts: ContactSlots
     J: jax.Array              # (m, nq) constraint Jacobian
     v_star: jax.Array         # pre-constraint velocity
+    clamping: jax.Array       # (m,) bool: constraint holds with equality
+    upper: jax.Array          # (m,) bool: friction riding the cone surface
+    upper_sign: jax.Array     # (m,) sign(x_i) * fscale_i for upper rows
 
 
 def build_constraint_system(
@@ -121,8 +127,18 @@ def build_constraint_system(
     kin,
     contacts: ContactSlots,
     servo_cmd: Optional[jax.Array] = None,
+    planner: bool = False,
 ):
-    """Assemble J, A, b, bounds for the padded boxed LCP."""
+    """Assemble J, A, b, bounds for the padded boxed LCP.
+
+    `planner=True` builds the SMOOTH planning variant used by the
+    frozen-active-set MPC fast path (ops/frozen_contact.py): contact-slot
+    activation gates and restitution bounce are dropped (the frozen class
+    masks decide row activity instead — the reference's warm-start
+    steady-state assumption, BoxedLcpConstraintSolver.cpp:422-458), and the
+    mass solve uses the pivot-free unrolled path so the whole assembly is
+    gather-free/control-flow-free (lane-kernel compatible).
+    """
     nq = model.nq
     dtype = q.dtype
     K = len(contacts.body_a)
@@ -132,14 +148,11 @@ def build_constraint_system(
     if K:
         Jw = dyn.world_jacobian(model, kin)  # (nb, 6, nq)
         # ---- fully vectorized contact rows (no per-slot Python graphs) ----
-        # body gather with a zero row for the static world (-1)
-        Jw_ext = jnp.concatenate(
-            [Jw, jnp.zeros((1, 6, nq), dtype=dtype)], axis=0
-        )
-        nb = model.num_bodies
-        ia = jnp.asarray([b if b >= 0 else nb for b in contacts.body_a])
-        ib = jnp.asarray([b if b >= 0 else nb for b in contacts.body_b])
-        Ja, Jb = Jw_ext[ia], Jw_ext[ib]               # (K, 6, nq)
+        # static body selection (trace-time stack: gather-free; slot body
+        # indices are static topology)
+        zero6 = jnp.zeros((6, nq), dtype=dtype)
+        Ja = jnp.stack([Jw[b] if b >= 0 else zero6 for b in contacts.body_a])
+        Jb = jnp.stack([Jw[b] if b >= 0 else zero6 for b in contacts.body_b])
         p = contacts.point                            # (K, 3)
 
         def point_jac(Jfull):
@@ -152,7 +165,12 @@ def build_constraint_system(
         n = contacts.normal
         t1, t2 = _tangent_basis(n)
         dirs = jnp.stack([n, t1, t2], axis=1)         # (K, 3, 3)
-        act = contacts.active.astype(dtype)           # (K,)
+        if planner:
+            # frozen-class planning: row activity comes from the class
+            # masks, not the (discontinuous) penetration gate
+            act = jnp.ones((K,), dtype)
+        else:
+            act = contacts.active.astype(dtype)       # (K,)
         rows_c = act[:, None, None] * jnp.einsum("kdi,kin->kdn", dirs, Jp)
 
         rel_v = jnp.einsum("kdn,n->kd", rows_c, v_star)   # (K, 3)
@@ -164,6 +182,8 @@ def build_constraint_system(
             jnp.minimum(restitution_vel, MAX_BOUNCING_VELOCITY),
             0.0,
         )
+        if planner:
+            bounce = jnp.zeros_like(bounce)
         b_c = jnp.stack(
             [act * (neg_vn + bounce), -act * rel_v[:, 1], -act * rel_v[:, 2]],
             axis=1,
@@ -191,13 +211,18 @@ def build_constraint_system(
         # (row −e_d with impulse >= 0 keeps all bounds [0, hi]).
         d_idx = jnp.asarray(Ld, dtype=jnp.int32)
         E = jax.nn.one_hot(d_idx, nq, dtype=dtype)    # (L, nq)
-        lo_act = ((q[d_idx] - model.q_lower[d_idx]) <= 0.0).astype(dtype)
-        hi_act = ((q[d_idx] - model.q_upper[d_idx]) >= 0.0).astype(dtype)
+        v_star_L = E @ v_star                          # gather-free selection
+        if planner:
+            lo_act = jnp.ones(len(Ld), dtype)
+            hi_act = jnp.ones(len(Ld), dtype)
+        else:
+            lo_act = ((q[d_idx] - model.q_lower[d_idx]) <= 0.0).astype(dtype)
+            hi_act = ((q[d_idx] - model.q_upper[d_idx]) >= 0.0).astype(dtype)
         J_lim = jnp.concatenate(
             [lo_act[:, None] * E, -hi_act[:, None] * E], axis=0
         )
         b_lim = jnp.concatenate(
-            [-lo_act * v_star[d_idx], hi_act * v_star[d_idx]]
+            [-lo_act * v_star_L, hi_act * v_star_L]
         )
         hi_lim = jnp.concatenate([lo_act, hi_act]) * _BIG
         J = jnp.concatenate([J, J_lim], axis=0)
@@ -217,7 +242,7 @@ def build_constraint_system(
             else jnp.zeros(len(model.servo_dofs), dtype=dtype)
         )
         J = jnp.concatenate([J, Es], axis=0)
-        b = jnp.concatenate([b, v_cmd - v_star[s_idx]])
+        b = jnp.concatenate([b, v_cmd - Es @ v_star])
         lo = jnp.concatenate([lo, model.tau_lower[s_idx] * model.dt])
         hi = jnp.concatenate([hi, model.tau_upper[s_idx] * model.dt])
         fscale = jnp.concatenate(
@@ -247,13 +272,20 @@ def build_constraint_system(
         Ec = jax.nn.one_hot(c_idx, nq, dtype=dtype)
         f_imp = model.coulomb_friction[c_idx] * model.dt
         J = jnp.concatenate([J, Ec], axis=0)
-        b = jnp.concatenate([b, -v_star[c_idx]])
+        b = jnp.concatenate([b, -(Ec @ v_star)])
         lo = jnp.concatenate([lo, -f_imp])
         hi = jnp.concatenate([hi, f_imp])
         fscale = jnp.concatenate([fscale, jnp.zeros(len(Cd), dtype)])
 
     M = dyn.mass_matrix(model, q, kin=kin)
-    Minv_Jt = jnp.linalg.solve(M, J.T)          # (nq, m)
+    if planner and nq <= 16:
+        # pivot-free unrolled SPD solve: keeps the planner assembly free of
+        # the serial pivoting loops jnp.linalg.solve lowers to on TPU
+        from nimblephysics_tpu.ops import linalg_small
+
+        Minv_Jt = linalg_small.solve_spd(M, J.T)
+    else:
+        Minv_Jt = jnp.linalg.solve(M, J.T)      # (nq, m)
     m_total = J.shape[0]
     A = J @ Minv_Jt + CFM * jnp.eye(m_total, dtype=dtype)
     return J, A, b, lo, hi, fscale, Minv_Jt
@@ -303,5 +335,11 @@ def contact_step(
     q_next = step_mod.integrate_positions(model, q, v)
     out = State(q_next, v_next)
     if return_info:
-        return out, ContactSolveInfo(impulses=x, contacts=contacts, J=J, v_star=v_star)
+        clamping, upper, s = lcp_mod._classify(
+            x, lo, hi, fscale, lcp_findex(model)
+        )
+        return out, ContactSolveInfo(
+            impulses=x, contacts=contacts, J=J, v_star=v_star,
+            clamping=clamping, upper=upper, upper_sign=s,
+        )
     return out

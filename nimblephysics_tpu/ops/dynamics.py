@@ -264,20 +264,22 @@ def mass_matrix(
         kin = forward_kinematics(model, q)
     I_body = _body_inertias(model)
     Ic = [I_body[i] for i in range(nb)]
-    M = jnp.zeros((nq, nq), dtype=q.dtype)
     for i in reversed(range(nb)):
         p = model.parents[i]
         if p >= 0:
             X = lie.Ad_inv(kin.T_pc[i])
             Ic[p] = Ic[p] + X.T @ Ic[i] @ X
+    # collect per-(joint, joint) blocks, then assemble the matrix by
+    # CONCATENATION over the static dof layout (scatter-free: lane-kernel
+    # compatible and avoids TPU's serialized scatter lowering)
+    blocks = {}
     for i in range(nb):
         Si = kin.S[i]
         nd = Si.shape[1]
         if nd == 0:
             continue
-        sl_i = model.joint_slice(i)
         F = Ic[i] @ Si                                   # (6, nd)
-        M = M.at[sl_i, sl_i].set(Si.T @ F)
+        blocks[(i, i)] = Si.T @ F
         jidx = i
         while model.parents[jidx] >= 0:
             # move F to the parent frame and dot against its subspace
@@ -285,11 +287,27 @@ def mass_matrix(
             jidx = model.parents[jidx]
             Sj = kin.S[jidx]
             if Sj.shape[1] > 0:
-                sl_j = model.joint_slice(jidx)
                 blk = Sj.T @ F                           # (ndj, ndi)
-                M = M.at[sl_j, sl_i].set(blk)
-                M = M.at[sl_i, sl_j].set(blk.T)
-    return M
+                blocks[(jidx, i)] = blk
+                blocks[(i, jidx)] = blk.T
+    ndofs = [kin.S[i].shape[1] for i in range(nb)]
+    rows = []
+    for a in range(nb):
+        if ndofs[a] == 0:
+            continue
+        row = []
+        for b in range(nb):
+            if ndofs[b] == 0:
+                continue
+            row.append(
+                blocks.get(
+                    (a, b), jnp.zeros((ndofs[a], ndofs[b]), dtype=q.dtype)
+                )
+            )
+        rows.append(jnp.concatenate(row, axis=1))
+    if not rows:
+        return jnp.zeros((nq, nq), dtype=q.dtype)
+    return jnp.concatenate(rows, axis=0)
 
 
 def coriolis_and_gravity(model: Model, q: jax.Array, v: jax.Array) -> jax.Array:
@@ -312,15 +330,32 @@ def world_jacobian(model: Model, kin: Kinematics) -> jax.Array:
             cols_w.append(jax.vmap(lambda c: lie.Ad_apply(kin.T_wb[i], c), 1, 1)(Si))
         else:
             cols_w.append(Si)
+    # assemble each body row by CONCATENATION over the static dof layout
+    # (ancestor joints contribute their world columns, others zeros) —
+    # scatter-free so the lane kernels (ops/lanevmap.py) can evaluate it,
+    # and faster on TPU than the serial .at[].set scatter chain
+    dtype = model.mass.dtype
     Js = []
     for b in range(nb):
-        Jb = jnp.zeros((6, nq), dtype=model.mass.dtype)
+        ancestors = set()
         k = b
         while k >= 0:
-            if kin.S[k].shape[1] > 0:
-                Jb = Jb.at[:, model.joint_slice(k)].set(cols_w[k])
+            ancestors.add(k)
             k = model.parents[k]
-        Js.append(Jb)
+        blocks = []
+        for k in range(nb):
+            nd = kin.S[k].shape[1]
+            if nd == 0:
+                continue
+            if k in ancestors:
+                blocks.append(cols_w[k])
+            else:
+                blocks.append(jnp.zeros((6, nd), dtype=dtype))
+        Js.append(
+            jnp.concatenate(blocks, axis=1)
+            if blocks
+            else jnp.zeros((6, nq), dtype=dtype)
+        )
     return jnp.stack(Js)
 
 

@@ -173,6 +173,7 @@ def direct_boxed_solve(
     lo_const: jax.Array,
     hi_const: jax.Array,
     rounds: int = 3,
+    polish_sweeps: int = 16,
 ) -> jax.Array:
     """Direct active-set solve for boxed LCPs WITHOUT friction coupling
     (joint limits, Coulomb rows): the fixed-shape analog of the
@@ -187,14 +188,31 @@ def direct_boxed_solve(
     dtype = b.dtype
     eye = jnp.eye(m, dtype=dtype)
 
+    def comp_residual(x):
+        """Complementarity violation of an in-box iterate (vector ops)."""
+        w = A @ x - b
+        tol = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
+        at_lo = x <= lo_const + tol
+        at_hi = x >= hi_const - tol
+        r = jnp.where(
+            at_lo, jnp.maximum(0.0, -w),
+            jnp.where(at_hi, jnp.maximum(0.0, w), jnp.abs(w)),
+        )
+        return jnp.max(r, initial=0.0)
+
     # class state: x_bound value for boundary rows; interior mask
     # (ones_like/zeros_like inherit shard_map varying-axes metadata from b —
     # plain constants would break the scan carry under shard_map)
     interior = jnp.ones_like(b) > 0.0
     x = jnp.zeros_like(b)
+    # Active-set iterations can 2-cycle on degenerate sets, and a fixed
+    # round count may stop mid-cycle — so carry the best-residual iterate
+    # seen (branch-free) and return THAT, not the last round's state.
+    best_x = jnp.clip(x, lo_const, hi_const)
+    best_res = comp_residual(best_x)
 
     def round_fn(carry, _):
-        interior, x = carry
+        interior, x, best_x, best_res = carry
         i_mask = interior.astype(dtype)
         x_bound = jnp.clip(x, lo_const, hi_const) * (1.0 - i_mask)
         # solve A_II x_I = b_I − A_IB x_B  (padded to identity off-interior)
@@ -217,10 +235,28 @@ def direct_boxed_solve(
         x_proj = jnp.clip(x_new, lo_const, hi_const)
         want_in = (below & (w < 0.0)) | (above & (w > 0.0))
         interior_new = (~below & ~above) | want_in
-        return (interior_new, x_proj), None
+        res = comp_residual(x_proj)
+        better = res < best_res
+        best_x = jnp.where(better, x_proj, best_x)
+        best_res = jnp.where(better, res, best_res)
+        return (interior_new, x_proj, best_x, best_res), None
 
-    (interior, x), _ = jax.lax.scan(round_fn, (interior, x), None, length=rounds)
-    return x
+    (interior, x, best_x, best_res), _ = jax.lax.scan(
+        round_fn, (interior, x, best_x, best_res), None, length=rounds
+    )
+    # Projected Gauss-Seidel polish from the best iterate: the active-set
+    # rounds can cycle without ever visiting the solution on degenerate
+    # sets; PGS is monotonically convergent for SPD A (it is exact and
+    # idempotent when the rounds already resolved the set), so the final
+    # answer is guaranteed to improve on best_x. Maps the reference's
+    # Dantzig→PGS fallback (BoxedLcpConstraintSolver.cpp:390-470).
+    if polish_sweeps > 0:
+        zero_fs = jnp.zeros_like(b)
+        best_x = pgs_solve(
+            A, b, lo_const, hi_const, zero_fs, best_x,
+            tuple([-1] * m), iters=polish_sweeps,
+        )
+    return best_x
 
 
 def _solve(A, b, lo, hi, fscale, x0, findex, iters, method):

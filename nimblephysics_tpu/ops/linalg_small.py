@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -38,12 +39,18 @@ def inv_spd_pivots(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
     M = jnp.concatenate([A, eye], axis=-1)            # (..., n, 2n)
     min_piv = None
+    eye_np = np.eye(n)
     for k in range(n):
         piv = M[..., k, k]
         min_piv = piv if min_piv is None else jnp.minimum(min_piv, piv)
         row = M[..., k, :] / piv[..., None]
         M = M - M[..., :, k:k + 1] * row[..., None, :]
-        M = M.at[..., k, :].set(row)
+        # write row k back additively: after the rank-1 update row k is
+        # zero (to rounding), so + e_k⊗row == .at[k].set(row) — but stays
+        # scatter-free (scatter is serial on TPU and unsupported in the
+        # lane kernels, ops/lanevmap.py)
+        oh = jnp.asarray(eye_np[k][:, None], dtype=A.dtype)
+        M = M + oh * row[..., None, :]
     return M[..., :, n:], min_piv
 
 

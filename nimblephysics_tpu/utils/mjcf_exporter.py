@@ -41,7 +41,7 @@ def _quat_from_R(R: np.ndarray) -> np.ndarray:
 
 
 def _fmt(v) -> str:
-    return " ".join(f"{float(x):.8g}" for x in np.atleast_1d(np.asarray(v)))
+    return " ".join(f"{float(x):.17g}" for x in np.atleast_1d(np.asarray(v)))
 
 
 def export_mjcf(model: Model, name: str = "nimble_world") -> str:
@@ -49,7 +49,7 @@ def export_mjcf(model: Model, name: str = "nimble_world") -> str:
     root = ET.Element("mujoco", model=name)
     ET.SubElement(
         root, "option",
-        timestep=f"{float(model.dt):.8g}",
+        timestep=f"{float(model.dt):.17g}",
         gravity=_fmt(model.gravity),
     )
     worldbody = ET.SubElement(root, "worldbody")
@@ -79,7 +79,7 @@ def export_mjcf(model: Model, name: str = "nimble_world") -> str:
         ET.SubElement(
             body, "inertial",
             pos=_fmt(model.com[i]),
-            mass=f"{float(model.mass[i]):.8g}",
+            mass=f"{float(model.mass[i]):.17g}",
             fullinertia=_fmt([
                 model.moment[i, 0, 0], model.moment[i, 1, 1],
                 model.moment[i, 2, 2], model.moment[i, 0, 1],
@@ -108,7 +108,7 @@ def export_mjcf(model: Model, name: str = "nimble_world") -> str:
                 attrs["limited"] = "true"
             d = float(model.damping[sl.start])
             if d:
-                attrs["damping"] = f"{d:.8g}"
+                attrs["damping"] = f"{d:.17g}"
             ET.SubElement(body, "joint", **attrs)
         elif jt in ("universal", "translational2d", "translational", "planar",
                     "euler_xyz", "euler_zyx"):

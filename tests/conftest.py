@@ -76,3 +76,9 @@ sys.path.insert(0, _REPO_ROOT)
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the suite's cold run is dominated by XLA:CPU
+# compiles of big solver graphs; warm reruns hit this cache instead.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache_cpu")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
