@@ -1,12 +1,25 @@
 """Headline benchmark: batched MPC solves/s at H=100 on one TPU chip.
 
 BASELINE target (driver-set): >= 1000 batched MPC solves/s per chip at
-horizon 100 (v5e-8). One "solve" = a full warm-started iLQR replan
-(8 iterations: linearize dynamics along the horizon, Riccati backward,
-line-searched forward) of a cartpole scenario, which is what the
-receding-horizon MPC layer executes per replan per world.
+horizon 100 (v5e-8), on the BASELINE configs — which are contact-rich, so
+the bench reports THREE workloads and headlines the WORST of them:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * cartpole       — contact-free planner (config 2 class), fused kernels
+  * half_cheetah   — the reference's data/skel/half_cheetah.skel, H=100
+                     receding-horizon replans (config 4) on the
+                     frozen-active-set contact fast path (feet-ground
+                     planner contacts + joint limits; plant keeps all 37
+                     contact slots)
+  * jump_worm      — frictional ground contact through the full 28-row
+                     frozen LCP (config 3/5 class)
+
+One "solve" = a full warm-started replan: for contact configs that is one
+full-LCP mode-sequence rollout + `iters` fused iLQR iterations (linearize,
+lane-Riccati backward, line-searched forward) — what the MPC layer executes
+per replan per world (reference: MPCLocal::optimizePlan,
+dart/realtime/MPCLocal.cpp:255-300).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 """
 
 from __future__ import annotations
@@ -28,26 +41,28 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def main() -> None:
-    from nimblephysics_tpu.models import builders
-    from nimblephysics_tpu.models.model import State, relax_limits
-    from nimblephysics_tpu.trajectory.ilqr import (
-        ILQRConfig,
-        ilqr_solve,
-        ilqr_solve_batch,
-    )
+def _time_solves(solve, args, B, reps=5):
+    out = solve(*args)
+    cost = out[1]
+    float(jnp.sum(cost))  # host sync (block_until_ready alone has been
+    #                       observed not to block on the remote path)
+    t0 = time.time()
+    warm = args
+    for _ in range(reps):
+        out = solve(*warm)
+        warm = (args[0], out[0]) + args[2:]  # warm-start controls
+        float(jnp.sum(out[1]))
+    dt = (time.time() - t0) / reps
+    return B / dt
 
-    # Planning model: limits relaxed (the planner/plant split — the world
-    # keeps the LCP constraint engine; the planner linearizes smooth
-    # dynamics, which is how the realtime MPC layer is meant to be used).
+
+def bench_cartpole(H, B, cfg):
+    from nimblephysics_tpu.models import builders
+    from nimblephysics_tpu.models.model import relax_limits
+    from nimblephysics_tpu.trajectory.ilqr import ilqr_solve_batch
+
     model = relax_limits(builders.cartpole(dt=0.02))
     nq, na = model.nq, model.num_actions
-    H = 100
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
-    ITERS = int(os.environ.get("BENCH_ITERS", "8"))
-    N_ALPHA = int(os.environ.get("BENCH_ALPHAS", "6"))
-    ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)[:N_ALPHA]
-    RICCATI = os.environ.get("BENCH_RICCATI", "pallas")
 
     def running(x, u, t):
         return 0.1 * jnp.sum(x[:nq] ** 2) + 1e-3 * jnp.sum(u**2)
@@ -55,50 +70,125 @@ def main() -> None:
     def final(x):
         return 10.0 * jnp.sum(x**2)
 
-    cfg = ILQRConfig(iters=ITERS, alphas=ALPHAS, riccati=RICCATI)
-    if RICCATI == "pallas":
-        # Natively batched solver: one lane-parallel Pallas kernel for the
-        # Riccati backward pass across the whole batch (the measured
-        # bottleneck of the scan-based path).
-        def solve_all(x0s, u_warms):
-            sol = ilqr_solve_batch(model, x0s, u_warms, running, final, cfg)
-            return sol.u, sol.cost
+    def solve_all(x0s, u_warms):
+        sol = ilqr_solve_batch(model, x0s, u_warms, running, final, cfg)
+        return sol.u, sol.cost
 
-        solve_batch = jax.jit(solve_all)
-    else:
-        def solve_one(x0_flat, u_warm):
-            sol = ilqr_solve(
-                model, State.from_flat(x0_flat), u_warm, running, final, cfg
-            )
-            return sol.u, sol.cost
-
-        solve_batch = jax.jit(jax.vmap(solve_one))
-
+    solve = jax.jit(solve_all)
     key = jax.random.PRNGKey(0)
     x0 = jax.random.uniform(key, (B, 2 * nq), minval=-0.3, maxval=0.3)
-    u_warm = jnp.zeros((B, H, na))
+    u0 = jnp.zeros((B, H, na))
+    return _time_solves(solve, (x0, u0), B)
 
-    # compile + warm
-    us, costs = solve_batch(x0, u_warm)
-    float(jnp.sum(costs))  # device->host sync (block_until_ready alone has
-    #                        been observed not to block on the remote path)
 
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        us, costs = solve_batch(x0, us)  # warm-started like steady-state MPC
-        float(jnp.sum(costs))
-    dt = (time.time() - t0) / reps
+def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
+    """Frozen-active-set contact MPC replans (class refresh + fused iLQR)."""
+    from nimblephysics_tpu.trajectory.ilqr import solve_contact_mpc_batch
 
-    solves_per_s = B / dt
+    nq, na = model.nq, model.num_actions
+    running, final = task(model)
+
+    def solve_all(x0s, u_warms):
+        sol, classes = solve_contact_mpc_batch(
+            model, x0s, u_warms, running, final, cfg, outer_iters=1
+        )
+        return sol.u, sol.cost
+
+    solve = jax.jit(solve_all)
+    key = jax.random.PRNGKey(1)
+    x0 = s0_flat_fn(B, key)
+    u0 = jnp.zeros((B, H, na))
+    return _time_solves(solve, (x0, u0), B)
+
+
+def bench_half_cheetah(H, B, cfg):
+    from nimblephysics_tpu.ops.frozen_contact import planner_reduce_contacts
+    from nimblephysics_tpu.utils.skel_parser import parse_skel
+
+    model, s0 = parse_skel("/root/reference/data/skel/half_cheetah.skel")
+    planner = planner_reduce_contacts(
+        model, ["half_cheetah/b_foot", "half_cheetah/f_foot"]
+    )
+    nq = planner.nq
+
+    def task(m):
+        def running(x, u, t):
+            return -1.0 * x[nq] + 1e-4 * jnp.sum(u**2) + 0.5 * x[2] ** 2
+
+        def final(x):
+            return -5.0 * x[nq]
+
+        return running, final
+
+    s0f = s0.flat()
+
+    def s0_fn(B, key):
+        noise = 0.05 * jax.random.normal(key, (B, 2 * nq), dtype=s0f.dtype)
+        return s0f[None, :] + noise
+
+    return _contact_bench(planner, s0_fn, H, B, cfg, task)
+
+
+def bench_jump_worm(H, B, cfg):
+    from nimblephysics_tpu.models import builders
+
+    model = builders.jump_worm(dt=0.001)
+    nq = model.nq
+
+    def task(m):
+        def running(x, u, t):
+            return 1e-5 * jnp.sum(u**2) + 2.0 * (x[1] + 0.4) ** 2
+
+        def final(x):
+            return 20.0 * (x[1] + 0.4) ** 2
+
+        return running, final
+
+    def s0_fn(B, key):
+        q = jnp.zeros((B, nq), jnp.float32).at[:, 1].set(-0.5)
+        q = q + 0.02 * jax.random.normal(key, (B, nq), dtype=q.dtype)
+        return jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+
+    return _contact_bench(model, s0_fn, H, B, cfg, task)
+
+
+def main() -> None:
+    from nimblephysics_tpu.trajectory.ilqr import ILQRConfig
+
+    H = int(os.environ.get("BENCH_H", "100"))
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    B_CONTACT = int(os.environ.get("BENCH_BATCH_CONTACT", "1024"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "8"))
+    N_ALPHA = int(os.environ.get("BENCH_ALPHAS", "6"))
+    ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)[:N_ALPHA]
+    only = os.environ.get("BENCH_ONLY", "")
+
+    cfg = ILQRConfig(iters=ITERS, alphas=ALPHAS)
+    cfg_contact = ILQRConfig(iters=max(2, ITERS // 2), alphas=ALPHAS[:4],
+                             unroll=1)
+
+    configs = {}
+    if not only or only == "cartpole":
+        configs["cartpole_b4096"] = round(bench_cartpole(H, B, cfg), 2)
+    if not only or only == "half_cheetah":
+        configs["half_cheetah_b1024"] = round(
+            bench_half_cheetah(H, B_CONTACT, cfg_contact), 2
+        )
+    if not only or only == "jump_worm":
+        configs["jump_worm_contact_b1024"] = round(
+            bench_jump_worm(H, B_CONTACT, cfg_contact), 2
+        )
+
+    value = min(configs.values())
     target = 1000.0
     print(
         json.dumps(
             {
-                "metric": "batched_mpc_solves_per_s_h100",
-                "value": round(solves_per_s, 2),
+                "metric": "batched_mpc_solves_per_s_h100_worst_config",
+                "value": value,
                 "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / target, 3),
+                "vs_baseline": round(value / target, 3),
+                "configs": configs,
             }
         )
     )

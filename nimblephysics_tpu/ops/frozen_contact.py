@@ -1,0 +1,172 @@
+"""Frozen-active-set contact dynamics — the contact-MPC fast path.
+
+The reference's MPC steady state rests on one observation: across a replan,
+the LCP active set barely changes, so the boxed LCP collapses to ONE linear
+solve on the warm-started classes ("if classes are consistent, solve with
+one matrix inversion" — /root/reference/dart/constraint/
+BoxedLcpConstraintSolver.cpp:422-458). This module is that observation
+turned into a smooth planning dynamics:
+
+    given per-step class masks (clamping c, upper u with signed scale s),
+    x = R x_C,  (A[C,:] R) x_C = b_C,  v' = v* + M⁻¹Jᵀ x
+
+— exactly the linear system the implicit LCP derivative uses
+(`ops/lcp.py:_boxed_lcp_jvp`, mapping BackpropSnapshot::
+getJacobianOfConstraintForce, BackpropSnapshot.cpp:2723-2774), but used as
+the PRIMAL step. With classes frozen the step is C¹-smooth in (q, v, τ),
+plain `jax.jacfwd` linearizes it (no LCP iterations, no custom_jvp), and —
+because the assembly is gather/control-flow-free (`build_constraint_system(
+planner=True)`) — it runs inside the lane-batched Pallas kernels
+(ops/lanevmap.py), unlocking the fused iLQR pipeline for contact models.
+
+MPC usage (trajectory/ilqr.py `ilqr_solve`/`ilqr_solve_batch` with
+`frozen`): the mode sequence comes from ONE full-LCP rollout per replan
+(`rollout_classes`), warm-started from the previous plan — the same
+temporal reuse as the reference's cached LCP solution.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nimblephysics_tpu.models.model import Model, State
+from nimblephysics_tpu.ops import dynamics as dyn
+from nimblephysics_tpu.ops import linalg_small
+from nimblephysics_tpu.ops.collide import detect_contacts
+from nimblephysics_tpu.ops.contact import (
+    build_constraint_system,
+    contact_step,
+    lcp_dim,
+    lcp_findex,
+)
+from nimblephysics_tpu.simulation import step as step_mod
+
+
+class FrozenClasses(NamedTuple):
+    """Per-step LCP class masks (leading axes broadcast over time/batch)."""
+
+    cmask: jax.Array   # (..., m) float: 1.0 where the row is CLAMPING
+    us: jax.Array      # (..., m) float: sign * fscale where UPPER, else 0
+
+
+def gov_matrix(model: Model) -> np.ndarray:
+    """(m, m) constant: gov[i, findex_i] = 1 for coupled rows (static)."""
+    fi = lcp_findex(model)
+    m = len(fi)
+    gov = np.zeros((m, m))
+    for i, f in enumerate(fi):
+        if f >= 0:
+            gov[i, f] = 1.0
+    return gov
+
+
+def classes_from_info(info) -> FrozenClasses:
+    """FrozenClasses from a ContactSolveInfo (full LCP solve)."""
+    dtype = info.impulses.dtype
+    return FrozenClasses(
+        cmask=info.clamping.astype(dtype),
+        us=info.upper.astype(dtype) * info.upper_sign,
+    )
+
+
+def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array) -> jax.Array:
+    """Impulses on a frozen class structure (the warm-start short-circuit).
+
+    Same algebra as the LCP implicit-derivative rule (`ops/lcp.py`):
+    R = (I + diag(us) gov) restricted to clamping columns; solve the
+    clamping subsystem via regularized normal equations (the reference uses
+    a complete orthogonal decomposition for the same robustness,
+    BackpropSnapshot.cpp:2755)."""
+    m = b.shape[-1]
+    dtype = b.dtype
+    eye = jnp.eye(m, dtype=dtype)
+    cmask = classes.cmask
+    R = (eye + classes.us[..., :, None] * gov) * cmask[..., None, :]
+    AR = A @ R
+    Qf = (
+        cmask[..., :, None] * AR * cmask[..., None, :]
+        + eye * (1.0 - cmask)[..., :, None]
+    )
+    rhs = cmask * b
+    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-5, dtype)
+    qscale = jnp.maximum(jnp.max(jnp.abs(Qf), axis=(-2, -1), keepdims=True), 1.0)
+    QtQ = jnp.swapaxes(Qf, -1, -2) @ Qf + (eps * qscale * qscale) * eye
+    Qtr = (jnp.swapaxes(Qf, -1, -2) @ rhs[..., None])[..., 0]
+    # always the unrolled pivot-free SPD solve: jnp.linalg.solve lowers to
+    # `lu` — serial pivoting on TPU and unsupported in the lane kernels
+    x_C = linalg_small.solve_spd(QtQ, Qtr)
+    return (R @ (cmask * x_C)[..., None])[..., 0]
+
+
+def frozen_contact_step(
+    model: Model,
+    state: State,
+    tau: jax.Array,
+    classes: FrozenClasses,
+    gov: Optional[jax.Array] = None,
+    servo_cmd: Optional[jax.Array] = None,
+) -> State:
+    """One smooth constrained step on a frozen mode (planning dynamics)."""
+    q, v = state.q, state.v
+    kin0 = dyn.forward_kinematics(model, q)
+    qdd = dyn.aba(model, q, v, tau, kin=kin0)
+    v_star = v + model.dt * qdd
+    if lcp_dim(model) == 0:
+        q_next = step_mod.integrate_positions(model, q, v)
+        return State(q_next, v_star)
+    contacts = detect_contacts(model, kin0.T_wb)
+    J, A, b, lo, hi, fscale, Minv_Jt = build_constraint_system(
+        model, q, v_star, kin0, contacts, servo_cmd, planner=True
+    )
+    if gov is None:
+        gov = jnp.asarray(gov_matrix(model), dtype=q.dtype)
+    x = solve_frozen(A, b, classes, gov)
+    v_next = v_star + Minv_Jt @ x
+    q_next = step_mod.integrate_positions(model, q, v)
+    return State(q_next, v_next)
+
+
+def planner_reduce_contacts(model: Model, keep_bodies) -> Model:
+    """Planner-model transform: keep collision shapes only on the named
+    bodies (plus static world geometry). The standard MPC practice — a
+    half-cheetah planner tracks foot-ground contact, not the 29
+    self-collision pairs the simulated plant also resolves — and it keeps
+    the frozen LCP small enough for the lane kernels (m scales the frozen
+    solve quadratically). The PLANT keeps the full shape set."""
+    keep = set(keep_bodies)
+    shapes = tuple(
+        sp
+        for sp in model.shapes
+        if sp.body_index < 0 or model.body_names[sp.body_index] in keep
+    )
+    return model.replace(shapes=shapes)
+
+
+def rollout_classes(model: Model, state0: State, actions: jax.Array):
+    """Full-LCP rollout that records the per-step mode sequence.
+
+    Returns (final_state, traj, FrozenClasses with leading time axis,
+    impulses (T, m)) — the once-per-replan pass that refreshes the frozen
+    mode sequence (reference: the cached LCP solution carried across steps,
+    World::getCachedLCPSolution)."""
+    from nimblephysics_tpu.ops.contact import contact_step
+
+    m = lcp_dim(model)
+    x0 = jnp.zeros(m, dtype=state0.q.dtype) + 0.0 * state0.q[0]
+
+    def body(carry, a):
+        s, x_prev = carry
+        s2, info = contact_step(
+            model, s, model.action_to_tau(a), x_warm=x_prev, return_info=True
+        )
+        cl = classes_from_info(info)
+        return (s2, info.impulses), (s2, cl, info.impulses)
+
+    (final, _), (traj, classes, impulses) = jax.lax.scan(
+        body, (state0, x0), actions
+    )
+    return final, traj, classes, impulses

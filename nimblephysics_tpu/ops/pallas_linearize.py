@@ -40,21 +40,47 @@ from nimblephysics_tpu.ops.lanevmap import LaneFn
 from nimblephysics_tpu.simulation.step import forward_step
 
 
+def _tau_stack(model: Model, u: jax.Array, dtype) -> jax.Array:
+    """Gather/scatter-free action→tau map (Mosaic cannot lower scatter)."""
+    act = list(model.actuated)
+    cols = [
+        u[act.index(i)] if i in act else jnp.zeros((), dtype)
+        for i in range(model.nq)
+    ]
+    return jnp.stack(cols)
+
+
 def dyn_for_trace(model: Model) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """The planner dynamics x' = f(x, u) in scatter/gather-free form
     (Mosaic cannot lower scatter): the action→tau map is unrolled into a
     static stack instead of `Model.action_to_tau`'s indexed scatter."""
-    act = list(model.actuated)
-    nq = model.nq
 
     def dyn(x: jax.Array, u: jax.Array) -> jax.Array:
         s = State.from_flat(x)
-        cols = [
-            u[act.index(i)] if i in act else jnp.zeros((), x.dtype)
-            for i in range(nq)
-        ]
-        tau = jnp.stack(cols)
-        return forward_step(model, s, tau).flat()
+        return forward_step(model, s, _tau_stack(model, u, x.dtype)).flat()
+
+    return dyn
+
+
+def dyn_frozen_for_trace(model: Model):
+    """Frozen-mode contact planning dynamics x' = f(x, u, cmask, us)
+    (ops/frozen_contact.py), gather-free — the contact-model fast path for
+    the fused kernels. The class masks ride the lane batch like the state."""
+    from nimblephysics_tpu.ops.frozen_contact import (
+        FrozenClasses,
+        frozen_contact_step,
+        gov_matrix,
+    )
+
+    gov = jnp.asarray(gov_matrix(model), dtype=model.mass.dtype)
+
+    def dyn(x: jax.Array, u: jax.Array, cm: jax.Array, us: jax.Array):
+        s = State.from_flat(x)
+        s2 = frozen_contact_step(
+            model, s, _tau_stack(model, u, x.dtype),
+            FrozenClasses(cmask=cm, us=us), gov,
+        )
+        return s2.flat()
 
     return dyn
 
@@ -76,29 +102,47 @@ def linearize_pallas(
     u: jax.Array,       # (B, T, na)
     block_b: int = 1024,
     interpret: bool = None,
+    classes=None,       # optional (cmask, us) each (B, T, m): frozen contact
 ) -> Tuple[jax.Array, jax.Array]:
     """(fx, fu) with fx (B, T, nx, nx), fu (B, T, nx, na): Jacobians of the
-    contact-free step at every trajectory point, as ONE fused kernel.
+    planning step at every trajectory point, as ONE fused kernel.
 
     Rather than tracing `jacfwd` (whose Jacobian assembly creates rank-4
     tangent-stacked intermediates Mosaic cannot relayout), the kernel
     evaluates the JVP with the (nx+na) basis-tangent directions folded
     into the LANE batch: lane (n, k) computes column k of point n's
-    Jacobian. Every intermediate keeps the per-world rank (≤3 + lane)."""
+    Jacobian. Every intermediate keeps the per-world rank (≤3 + lane).
+
+    With `classes`, the step is the frozen-mode contact dynamics
+    (ops/frozen_contact.py) and each lane additionally carries its point's
+    class masks (zero tangents — the mode is frozen across the replan)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, nx = xs.shape
     na = u.shape[-1]
     dtype = xs.dtype
 
-    dyn = dyn_for_trace(model)
-
-    def jvp_fn(x, uu, dx, du):
-        _, t = jax.jvp(dyn, (x, uu), (dx, du))
-        return t
-
     z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
-    lf = LaneFn(jvp_fn, (z(nx), z(na), z(nx), z(na)))
+    if classes is None:
+        dyn = dyn_for_trace(model)
+
+        def jvp_fn(x, uu, dx, du):
+            _, t = jax.jvp(dyn, (x, uu), (dx, du))
+            return t
+
+        lf = LaneFn(jvp_fn, (z(nx), z(na), z(nx), z(na)))
+        m_cl = 0
+    else:
+        dynf = dyn_frozen_for_trace(model)
+        m_cl = classes[0].shape[-1]
+
+        def jvp_fn(x, uu, cm, usv, dx, du):
+            _, t = jax.jvp(
+                lambda a, b: dynf(a, b, cm, usv), (x, uu), (dx, du)
+            )
+            return t
+
+        lf = LaneFn(jvp_fn, (z(nx), z(na), z(m_cl), z(m_cl), z(nx), z(na)))
     from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
     block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr))
 
@@ -119,13 +163,19 @@ def linearize_pallas(
         return aT
 
     xT, uT, dxT, duT = lanes(pts_x), lanes(pts_u), lanes(dx), lanes(du)
+    cl_in = []
+    if classes is not None:
+        cmT = lanes(jnp.repeat(classes[0].reshape(B * T, m_cl), K, axis=0))
+        usT = lanes(jnp.repeat(classes[1].reshape(B * T, m_cl), K, axis=0))
+        cl_in = [cmT, usT]
 
     def kernel(*refs):
         const_refs = refs[:lf.n_consts]
-        x_ref, u_ref, dx_ref, du_ref, t_ref = refs[lf.n_consts:]
+        arg_refs = refs[lf.n_consts:-1]
+        t_ref = refs[-1]
         (t,) = lf.call(
             [cr[...] for cr in const_refs],
-            [x_ref[...], u_ref[...], dx_ref[...], du_ref[...]],
+            [ar[...] for ar in arg_refs],
             block_b,
         )
         t_ref[...] = t
@@ -134,15 +184,18 @@ def linearize_pallas(
     lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
         (rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
     )
+    arg_specs = [lane_spec(nx), lane_spec(na)]
+    if classes is not None:
+        arg_specs += [lane_spec(m_cl), lane_spec(m_cl)]
+    arg_specs += [lane_spec(nx), lane_spec(na)]
     t_p = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[_const_spec(c) for c in lf.consts2d]
-        + [lane_spec(nx), lane_spec(na), lane_spec(nx), lane_spec(na)],
+        in_specs=[_const_spec(c) for c in lf.consts2d] + arg_specs,
         out_specs=lane_spec(nx),
         out_shape=jax.ShapeDtypeStruct((nx, N_pad), dtype),
         interpret=interpret,
-    )(*lf.consts2d, xT, uT, dxT, duT)
+    )(*lf.consts2d, xT, uT, *cl_in, dxT, duT)
 
     # t_p[:, n*K + k] = J(point n) @ e_k  ->  (B, T, K, nx) -> Jacobians
     cols = t_p[:, :N].T.reshape(B, T, K, nx)

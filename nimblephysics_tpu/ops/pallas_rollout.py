@@ -44,8 +44,8 @@ def _pad8(e: int) -> int:
 
 
 def _rollout_kernel(
-    lf: LaneFn, nx: int, na: int, t_chunk: int, n_chunks: int, T: int,
-    block: int,
+    lf: LaneFn, nx: int, na: int, m_cl: int, t_chunk: int, n_chunks: int,
+    T: int, block: int,
     *refs,
 ):
     n_c = lf.n_consts
@@ -69,6 +69,7 @@ def _rollout_kernel(
     cost = carry[nx]
 
     oxr, our, oK, ok_ = 0, nx, nx + na, nx + na + na * nx
+    ocl = nx + na + na * nx + na
     for r in range(t_chunk):
         st = steps_ref[r]
         t_idx = c * t_chunk + r
@@ -78,8 +79,10 @@ def _rollout_kernel(
         uref = st[our: our + na]
         Kt = st[oK: oK + na * nx]
         kt = st[ok_: ok_ + na]
-        x2, u, c_t = lf.call(cvals, [xv, xref, uref, Kt, kt, alpha, t_lane],
-                             block)
+        args = [xv, xref, uref, Kt, kt]
+        if m_cl:
+            args += [st[ocl: ocl + m_cl], st[ocl + m_cl: ocl + 2 * m_cl]]
+        x2, u, c_t = lf.call(cvals, args + [alpha, t_lane], block)
         live = (jnp.full((block,), t_idx, jnp.int32) < T)
         x = [jnp.where(live, x2[i], x[i]) for i in range(nx)]
         cost = cost + jnp.where(live, c_t, jnp.zeros_like(c_t))
@@ -112,13 +115,16 @@ def rollout_gains_pallas(
     block_b: int = 1024,
     t_chunk: int = None,
     interpret: bool = None,
+    classes=None,        # optional (cmask, us) each (B, T, m): frozen contact
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Closed-loop rollouts for every (alpha, world) pair in one kernel.
 
     Returns (xs2, us, costs): xs2 (A, B, T+1, nx) candidate trajectories,
     us (A, B, T, na) clamped controls, costs (A, B) total trajectory costs
     (running + terminal) — semantically `vmap(rollout_with_gains)` over
-    the alpha ladder as in trajectory/ilqr.py."""
+    the alpha ladder as in trajectory/ilqr.py. With `classes`, the dynamics
+    is the frozen-mode contact step (ops/frozen_contact.py) and each step's
+    class masks ride in the packed per-step rows."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, na = u_ref.shape
@@ -126,27 +132,45 @@ def rollout_gains_pallas(
     A = alphas.shape[0]
     dtype = x0.dtype
 
-    dyn = dyn_for_trace(model)
     idx = jnp.asarray(model.actuated, dtype=jnp.int32)
     u_lo = jnp.asarray(model.tau_lower)[idx]
     u_hi = jnp.asarray(model.tau_upper)[idx]
-
-    def step_fn(x, xref, uref, Kt_flat, kt, alpha, t):
-        du = alpha * kt + Kt_flat.reshape(na, nx) @ (x - xref)
-        u = jnp.clip(uref + du, u_lo, u_hi)
-        c = running_cost(x, u, t)
-        x2 = dyn(x, u)
-        return x2, u, c
+    m_cl = 0 if classes is None else classes[0].shape[-1]
 
     z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
-    lf = LaneFn(step_fn, (z(nx), z(nx), z(na), z(na * nx), z(na),
-                          jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    if classes is None:
+        dyn = dyn_for_trace(model)
+
+        def step_fn(x, xref, uref, Kt_flat, kt, alpha, t):
+            du = alpha * kt + Kt_flat.reshape(na, nx) @ (x - xref)
+            u = jnp.clip(uref + du, u_lo, u_hi)
+            c = running_cost(x, u, t)
+            x2 = dyn(x, u)
+            return x2, u, c
+
+        lf = LaneFn(step_fn, (z(nx), z(nx), z(na), z(na * nx), z(na),
+                              jnp.zeros((), dtype), jnp.zeros((), dtype)))
+    else:
+        from nimblephysics_tpu.ops.pallas_linearize import dyn_frozen_for_trace
+
+        dynf = dyn_frozen_for_trace(model)
+
+        def step_fn(x, xref, uref, Kt_flat, kt, cm, usv, alpha, t):
+            du = alpha * kt + Kt_flat.reshape(na, nx) @ (x - xref)
+            u = jnp.clip(uref + du, u_lo, u_hi)
+            c = running_cost(x, u, t)
+            x2 = dynf(x, u, cm, usv)
+            return x2, u, c
+
+        lf = LaneFn(step_fn, (z(nx), z(nx), z(na), z(na * nx), z(na),
+                              z(m_cl), z(m_cl),
+                              jnp.zeros((), dtype), jnp.zeros((), dtype)))
     from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
     block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr))
 
     L = A * B
     L_pad = -(-L // block_b) * block_b
-    E = nx + na + na * nx + na
+    E = nx + na + na * nx + na + 2 * m_cl
     E_pad = _pad8(E)
     if t_chunk is None:
         t_chunk = 1 if interpret else max(
@@ -163,15 +187,15 @@ def rollout_gains_pallas(
         rows = jnp.pad(rows, ((0, T_pad - T), (0, 0), (0, L_pad - L)))
         return rows
 
-    packed = jnp.concatenate(
-        [
-            tile_lanes(xs_ref[:, :-1]),
-            tile_lanes(u_ref),
-            tile_lanes(K),
-            tile_lanes(k),
-        ],
-        axis=1,
-    )
+    parts = [
+        tile_lanes(xs_ref[:, :-1]),
+        tile_lanes(u_ref),
+        tile_lanes(K),
+        tile_lanes(k),
+    ]
+    if classes is not None:
+        parts += [tile_lanes(classes[0]), tile_lanes(classes[1])]
+    packed = jnp.concatenate(parts, axis=1)
     packed = jnp.pad(packed, ((0, 0), (0, E_pad - packed.shape[1]), (0, 0)))
 
     x0_l = jnp.pad(jnp.tile(x0, (A, 1)).T, ((0, 0), (0, L_pad - L)))
@@ -181,7 +205,7 @@ def rollout_gains_pallas(
     Lb = L_pad // block_b
     grid = (Lb, n_chunks)
 
-    kernel = partial(_rollout_kernel, lf, nx, na, t_chunk, n_chunks, T,
+    kernel = partial(_rollout_kernel, lf, nx, na, m_cl, t_chunk, n_chunks, T,
                      block_b)
     out_p, cost_p = pl.pallas_call(
         kernel,

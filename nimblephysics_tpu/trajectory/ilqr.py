@@ -183,6 +183,30 @@ def _make_dyn(model: Model):
     return dyn
 
 
+def _make_frozen_dyn(model: Model):
+    """Time-varying smooth planning dynamics on a frozen mode sequence
+    (ops/frozen_contact.py): dyn(x, u, (cmask_t, us_t)) -> x'. The iLQR
+    contact fast path — the reference's warm-start steady-state assumption
+    (BoxedLcpConstraintSolver.cpp:422-458) applied to the whole replan."""
+    from nimblephysics_tpu.ops.frozen_contact import (
+        FrozenClasses,
+        frozen_contact_step,
+        gov_matrix,
+    )
+
+    gov = jnp.asarray(gov_matrix(model), dtype=model.mass.dtype)
+
+    def dyn(x, u, cl):
+        s = State.from_flat(x)
+        tau = model.action_to_tau(u)
+        s2 = frozen_contact_step(
+            model, s, tau, FrozenClasses(cmask=cl[0], us=cl[1]), gov
+        )
+        return s2.flat()
+
+    return dyn
+
+
 def ilqr_solve(
     model: Model,
     x0: State,
@@ -190,17 +214,33 @@ def ilqr_solve(
     running_cost: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
     final_cost: Callable[[jax.Array], jax.Array],
     config: ILQRConfig = ILQRConfig(),
+    classes=None,
 ) -> ILQRSolution:
     """Minimize sum_t running_cost(x_t, u_t, t) + final_cost(x_T).
 
     x is the flat (q, v) state; u is the action vector (actuated dofs).
     Fully jittable; fixed iteration/linesearch structure.
+
+    `classes` (a FrozenClasses with leading time axis, from
+    `ops/frozen_contact.rollout_classes`): solve on the SMOOTH
+    frozen-mode-sequence dynamics instead of the full LCP step — the
+    contact-MPC fast path (see `solve_contact_mpc`).
     """
-    dyn = _make_dyn(model)
     T, na = u_init.shape
     nx = 2 * model.nq
     dtype = u_init.dtype
     xflat0 = x0.flat()
+
+    if classes is None:
+        _dyn0 = _make_dyn(model)
+
+        def dyn(x, u, cl):
+            return _dyn0(x, u)
+
+        cl_seq = (jnp.zeros((T, 0), dtype), jnp.zeros((T, 0), dtype))
+    else:
+        dyn = _make_frozen_dyn(model)
+        cl_seq = (classes.cmask, classes.us)
 
     idx = jnp.asarray(model.actuated, dtype=jnp.int32) if na else None
     u_lo = model.tau_lower[idx] if na else None
@@ -212,11 +252,12 @@ def ilqr_solve(
         return jnp.clip(u, u_lo, u_hi)
 
     def rollout_controls(u):
-        def body(x, ut):
-            x2 = dyn(x, ut)
+        def body(x, inp):
+            ut, cl = inp
+            x2 = dyn(x, ut, cl)
             return x2, x2
 
-        xT, xs = jax.lax.scan(body, xflat0, u, unroll=config.unroll)
+        xT, xs = jax.lax.scan(body, xflat0, (u, cl_seq), unroll=config.unroll)
         return jnp.concatenate([xflat0[None], xs], axis=0)
 
     def traj_cost(xs, u):
@@ -227,13 +268,14 @@ def ilqr_solve(
         """Closed-loop forward pass: u = u_ref + alpha k + K (x − x_ref)."""
 
         def body(x, inp):
-            x_ref, u_ref_t, K_t, k_t = inp
+            x_ref, u_ref_t, K_t, k_t, cl = inp
             u_t = clamp(u_ref_t + alpha * k_t + K_t @ (x - x_ref))
-            x2 = dyn(x, u_t)
+            x2 = dyn(x, u_t, cl)
             return x2, (x2, u_t)
 
         _, (xs, us) = jax.lax.scan(
-            body, xflat0, (xs_ref[:-1], u_ref, K, k), unroll=config.unroll
+            body, xflat0, (xs_ref[:-1], u_ref, K, k, cl_seq),
+            unroll=config.unroll,
         )
         xs = jnp.concatenate([xflat0[None], xs], axis=0)
         return xs, us
@@ -254,7 +296,7 @@ def ilqr_solve(
         return jax.vmap(h)(xs, u, ts)
 
     def backward(xs, u, reg):
-        fx, fu = dyn_jac(xs[:-1], u)                       # (T,nx,nx), (T,nx,na)
+        fx, fu = dyn_jac(xs[:-1], u, cl_seq)               # (T,nx,nx), (T,nx,na)
         lx, lu = cost_grad(xs[:-1], u, ts)
         lxx, luu, lux = cost_hess(xs[:-1], u)
         Vx_T = jax.grad(final_cost)(xs[-1])
@@ -341,6 +383,91 @@ def ilqr_solve(
                         K=Ks[-1], k=ks[-1])
 
 
+def solve_contact_mpc(
+    model: Model,
+    x0: State,
+    u_init: jax.Array,
+    running_cost: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    final_cost: Callable[[jax.Array], jax.Array],
+    config: ILQRConfig = ILQRConfig(),
+    outer_iters: int = 2,
+    classes=None,
+):
+    """Contact-model iLQR via frozen mode sequences (the MPC fast path).
+
+    Alternates {one full-LCP rollout extracting the per-step active-set
+    classes} with {an iLQR solve on the smooth frozen-mode dynamics} —
+    the reference's steady-state replan structure, where the warm-started
+    LCP classes stay fixed and each step is one linear solve
+    (BoxedLcpConstraintSolver.cpp:422-458; MPCLocal reoptimize loop,
+    MPCLocal.cpp:255-300). `classes` seeds the first inner solve (carry it
+    across replans for MPC warm starting); pass None to bootstrap from
+    `u_init`'s rollout.
+
+    Returns (ILQRSolution evaluated on the TRUE constrained dynamics,
+    final FrozenClasses for the next replan's warm start). Fully jittable.
+    """
+    from nimblephysics_tpu.ops.frozen_contact import rollout_classes
+    from nimblephysics_tpu.simulation.step import rollout as full_rollout
+
+    ts = jnp.arange(u_init.shape[0])
+    u = u_init
+    sol = None
+    for _ in range(outer_iters):
+        if classes is None or sol is not None:
+            _, _, classes, _ = rollout_classes(model, x0, u)
+        sol = ilqr_solve(
+            model, x0, u, running_cost, final_cost, config, classes
+        )
+        u = sol.u
+    # honest evaluation on the true constrained dynamics
+    _, traj = full_rollout(model, x0, u)
+    xs_true = jnp.concatenate([x0.flat()[None], traj.flat()], axis=0)
+    cost_true = jnp.sum(
+        jax.vmap(running_cost)(xs_true[:-1], u, ts)
+    ) + final_cost(xs_true[-1])
+    _, _, classes_out, _ = rollout_classes(model, x0, u)
+    sol = sol._replace(x=xs_true, cost=cost_true)
+    return sol, classes_out
+
+
+def solve_contact_mpc_batch(
+    model: Model,
+    x0_flat: jax.Array,   # (B, 2nq)
+    u_init: jax.Array,    # (B, T, na)
+    running_cost,
+    final_cost,
+    config: ILQRConfig = ILQRConfig(),
+    outer_iters: int = 2,
+    block_b: int = 1024,
+    classes=None,
+):
+    """Batched contact-model MPC solves on the frozen-mode fast path:
+    `solve_contact_mpc` over B worlds with the fused Pallas pipeline doing
+    the inner iLQR work. Returns (ILQRSolution, FrozenClasses for warm
+    starting the next replan). Forward-only (serving path)."""
+    from nimblephysics_tpu.ops.frozen_contact import rollout_classes
+
+    B = x0_flat.shape[0]
+
+    def classes_of(x0f, u):
+        _, _, cl, _ = rollout_classes(model, State.from_flat(x0f), u)
+        return cl
+
+    classes_b = jax.vmap(classes_of)
+    u = u_init
+    sol = None
+    for _ in range(outer_iters):
+        if classes is None or sol is not None:
+            classes = classes_b(x0_flat, u)
+        sol = ilqr_solve_batch(
+            model, x0_flat, u, running_cost, final_cost, config,
+            block_b=block_b, classes=classes,
+        )
+        u = sol.u
+    return sol, classes_b(x0_flat, u)
+
+
 def ilqr_solve_batch(
     model: Model,
     x0_flat: jax.Array,       # (B, 2nq)
@@ -349,6 +476,7 @@ def ilqr_solve_batch(
     final_cost: Callable[[jax.Array], jax.Array],
     config: ILQRConfig = ILQRConfig(),
     block_b: int = 1024,
+    classes=None,
 ) -> ILQRSolution:
     """Natively batched iLQR with a lane-parallel Pallas Riccati backward.
 
@@ -359,11 +487,25 @@ def ilqr_solve_batch(
     MPC serving workload (bench.py); the scan-based `ilqr_solve` remains
     the vmappable/differentiable reference.
 
+    `classes` (a FrozenClasses pytree with leading (B, T) axes): solve on
+    the frozen-mode contact dynamics — the fused kernels then run for
+    contact models too (the contact-MPC fast path).
+
     Forward-only: the Pallas backward defines no AD rule.
     """
-    dyn = _make_dyn(model)
     B, T, na = u_init.shape
     dtype = u_init.dtype
+
+    if classes is None:
+        _dyn0 = _make_dyn(model)
+
+        def dyn(x, u, cl):
+            return _dyn0(x, u)
+
+        cl_bt = (jnp.zeros((B, T, 0), dtype), jnp.zeros((B, T, 0), dtype))
+    else:
+        dyn = _make_frozen_dyn(model)
+        cl_bt = (classes.cmask, classes.us)
 
     idx = jnp.asarray(model.actuated, dtype=jnp.int32) if na else None
     u_lo = model.tau_lower[idx] if na else None
@@ -373,12 +515,13 @@ def ilqr_solve_batch(
     def clamp(u):
         return jnp.clip(u, u_lo, u_hi)
 
-    def rollout_controls_one(x0, u):
-        def body(x, ut):
-            x2 = dyn(x, ut)
+    def rollout_controls_one(x0, u, cl):
+        def body(x, inp):
+            ut, cl_t = inp
+            x2 = dyn(x, ut, cl_t)
             return x2, x2
 
-        _, xs = jax.lax.scan(body, x0, u, unroll=config.unroll)
+        _, xs = jax.lax.scan(body, x0, (u, cl), unroll=config.unroll)
         return jnp.concatenate([x0[None], xs], axis=0)
 
     rollout_controls = jax.vmap(rollout_controls_one)
@@ -389,31 +532,41 @@ def ilqr_solve_batch(
 
     traj_cost = jax.vmap(traj_cost_one)
 
-    def rollout_gains_one(x0, xs_ref, u_ref, K, k, alpha):
+    def rollout_gains_one(x0, xs_ref, u_ref, K, k, cl, alpha):
         def body(x, inp):
-            x_ref, u_ref_t, K_t, k_t = inp
+            x_ref, u_ref_t, K_t, k_t, cl_t = inp
             u_t = clamp(u_ref_t + alpha * k_t + K_t @ (x - x_ref))
-            x2 = dyn(x, u_t)
+            x2 = dyn(x, u_t, cl_t)
             return x2, (x2, u_t)
 
         _, (xs, us) = jax.lax.scan(
-            body, x0, (xs_ref[:-1], u_ref, K, k), unroll=config.unroll
+            body, x0, (xs_ref[:-1], u_ref, K, k, cl), unroll=config.unroll
         )
         return jnp.concatenate([x0[None], xs], axis=0), us
 
-    rollout_gains = jax.vmap(rollout_gains_one, in_axes=(0, 0, 0, 0, 0, None))
+    rollout_gains = jax.vmap(
+        rollout_gains_one, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )
 
     from nimblephysics_tpu.ops.contact import lcp_dim
 
-    fused = config.linearize == "auto" and lcp_dim(model) == 0 and na > 0
+    fused = config.linearize == "auto" and na > 0 and (
+        lcp_dim(model) == 0 or classes is not None
+    )
+    cl_kernel = None if classes is None else cl_bt
     if fused:
         from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
         from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
 
         def dyn_jac(xs_bt, u_bt):
-            return linearize_pallas(model, xs_bt, u_bt, block_b=block_b)
+            return linearize_pallas(
+                model, xs_bt, u_bt, block_b=block_b, classes=cl_kernel
+            )
     else:
-        dyn_jac = jax.vmap(jax.vmap(jax.jacfwd(dyn, argnums=(0, 1))))
+        def dyn_jac(xs_bt, u_bt):
+            return jax.vmap(jax.vmap(jax.jacfwd(dyn, argnums=(0, 1))))(
+                xs_bt, u_bt, cl_bt
+            )
     cost_grad = jax.vmap(jax.vmap(jax.grad(running_cost, argnums=(0, 1))))
 
     def hess_one(x, u_t, t):
@@ -449,10 +602,11 @@ def ilqr_solve_batch(
             xss, uss, costs = rollout_gains_pallas(
                 model, running_cost, final_cost,
                 x0_flat, xs, u, K, k, alphas, block_b=block_b,
+                classes=cl_kernel,
             )
         else:
             def try_alpha(alpha):
-                xs2, u2 = rollout_gains(x0_flat, xs, u, K, k, alpha)
+                xs2, u2 = rollout_gains(x0_flat, xs, u, K, k, cl_bt, alpha)
                 return traj_cost(xs2, u2), xs2, u2
 
             costs, xss, uss = jax.vmap(try_alpha)(alphas)  # (A,B), (A,B,...)
@@ -471,7 +625,7 @@ def ilqr_solve_batch(
         return (xs_n, u_n, cost_n, reg_n), (cost_n, K, k)
 
     u0 = clamp(u_init)
-    xs0 = rollout_controls(x0_flat, u0)
+    xs0 = rollout_controls(x0_flat, u0, cl_bt)
     cost0 = traj_cost(xs0, u0)
     reg0 = jnp.full((B,), config.reg_init, dtype=dtype)
     (xs, u, cost, _), (hist, Ks, ks) = jax.lax.scan(

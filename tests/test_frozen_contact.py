@@ -1,0 +1,189 @@
+"""Frozen-active-set planning dynamics (the contact-MPC fast path).
+
+Validates `ops/frozen_contact.py` against the full LCP step: at the
+linearization point the frozen step must reproduce the full step (same
+impulses via the warm-start short-circuit algebra), and its plain-AD
+Jacobians must match the full step's implicit-LCP custom_jvp Jacobians —
+they encode the same formula (BackpropSnapshot.cpp:2723-2774).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nimblephysics_tpu.models import builders
+from nimblephysics_tpu.models.model import State
+from nimblephysics_tpu.ops.contact import contact_step, lcp_dim
+from nimblephysics_tpu.ops.frozen_contact import (
+    classes_from_info,
+    frozen_contact_step,
+    gov_matrix,
+    rollout_classes,
+)
+
+
+def _settled_worm():
+    """Jump worm resting on the floor: active frictional contact."""
+    m = builders.jump_worm(dt=0.001)
+    s = State(q=jnp.zeros(m.nq).at[1].set(-0.45), v=jnp.zeros(m.nq))
+    for _ in range(300):
+        s = contact_step(m, s, jnp.zeros(m.nq))
+    return m, s
+
+
+def _limited_cartpole():
+    m = builders.cartpole(dt=0.02).replace(
+        q_lower=jnp.asarray([-0.6, -0.5]), q_upper=jnp.asarray([0.6, 0.5])
+    )
+    s = State(q=jnp.asarray([0.0, 0.3]), v=jnp.zeros(2))
+    for t in range(60):
+        s = contact_step(m, s, jnp.asarray([6.0, 0.0]))
+    return m, s
+
+
+@pytest.fixture(scope="module", params=["worm", "cartpole_limits"])
+def world(request):
+    if request.param == "worm":
+        model, s = _settled_worm()
+        tau = model.action_to_tau(jnp.asarray([0.5, -0.3, 0.2, 0.1])[: model.num_actions])
+    else:
+        model, s = _limited_cartpole()
+        tau = model.action_to_tau(jnp.asarray([6.0]))
+    return model, s, tau
+
+
+def test_frozen_step_matches_full_step_at_linearization_point(world):
+    model, s, tau = world
+    s_full, info = contact_step(model, s, tau, return_info=True)
+    assert bool(jnp.any(info.clamping)), "fixture must have active constraints"
+    classes = classes_from_info(info)
+    s_frozen = frozen_contact_step(model, s, tau, classes)
+    # atol: the full step's PGS solution carries ~1e-7 iteration residual;
+    # the frozen solve is exact on the same classes
+    np.testing.assert_allclose(
+        np.asarray(s_frozen.v), np.asarray(s_full.v), rtol=1e-6, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_frozen.q), np.asarray(s_full.q), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_frozen_step_jacobians_match_implicit_lcp_jacobians(world):
+    """jacfwd(frozen step) == jacfwd(full step via custom_jvp) — the same
+    active-set implicit derivative, reached by two different routes."""
+    model, s, tau = world
+    _, info = contact_step(model, s, tau, return_info=True)
+    classes = classes_from_info(info)
+    gov = jnp.asarray(gov_matrix(model), dtype=s.q.dtype)
+
+    def full_flat(xflat):
+        st = State.from_flat(xflat)
+        s2 = contact_step(model, st, tau)
+        return s2.flat()
+
+    def frozen_flat(xflat):
+        st = State.from_flat(xflat)
+        s2 = frozen_contact_step(model, st, tau, classes, gov)
+        return s2.flat()
+
+    x0 = s.flat()
+    J_full = jax.jacfwd(full_flat)(x0)
+    J_frozen = jax.jacfwd(frozen_flat)(x0)
+    np.testing.assert_allclose(
+        np.asarray(J_frozen), np.asarray(J_full), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_frozen_step_fd_twin(world):
+    """FD twin for the frozen step's own analytic (AD) Jacobian — the
+    reference's universal test pattern (GradientTestUtils.hpp). The state
+    is perturbed off the exactly-symmetric rest point: a box lying flat on
+    the floor puts several contact-point coordinates exactly on collision
+    clipping kinks, where central FD straddles the non-smoothness."""
+    model, s, tau = world
+    s = State(q=s.q + 1e-3 * jnp.arange(1, model.nq + 1), v=s.v)
+    _, info = contact_step(model, s, tau, return_info=True)
+    classes = classes_from_info(info)
+    gov = jnp.asarray(gov_matrix(model), dtype=s.q.dtype)
+
+    def f(xflat):
+        st = State.from_flat(xflat)
+        return frozen_contact_step(model, st, tau, classes, gov).flat()
+
+    x0 = s.flat()
+    J = np.asarray(jax.jacfwd(f)(x0))
+    # eps balances truncation against the ~1e-7-scale solve noise from the
+    # frozen system's normal-equations regularization (FD error shrinks
+    # with LARGER eps here — the signature of roundoff, not a wrong
+    # derivative; verified 8x reduction from eps 1e-6 -> 1e-5)
+    eps = 1e-5
+    J_fd = np.zeros_like(J)
+    for i in range(x0.shape[0]):
+        dp = np.asarray(f(x0.at[i].add(eps)))
+        dm = np.asarray(f(x0.at[i].add(-eps)))
+        J_fd[:, i] = (dp - dm) / (2 * eps)
+    np.testing.assert_allclose(J, J_fd, rtol=2e-4, atol=2e-4)
+
+
+def test_solve_contact_mpc_improves_on_true_dynamics():
+    """Frozen-mode iLQR (the contact fast path) must reduce the TRUE
+    constrained-dynamics cost on a contact-rich task (worm crouch: drive
+    the root downward while standing on the floor)."""
+    from nimblephysics_tpu.trajectory.ilqr import (
+        ILQRConfig,
+        solve_contact_mpc,
+    )
+
+    model, s = _settled_worm()
+    T = 40
+    na = model.num_actions
+    # bend the first actuated joint while standing on the floor
+    d_act = model.actuated[0]
+    q_target = s.q.at[d_act].add(0.3)
+
+    def rc(x, u, t):
+        return 1e-7 * jnp.sum(u**2) + 5.0 * jnp.sum(
+            (x[: model.nq] - q_target) ** 2
+        )
+
+    def fc(x):
+        return 50.0 * jnp.sum((x[: model.nq] - q_target) ** 2)
+
+    u0 = jnp.zeros((T, na))
+    sol, classes_out = solve_contact_mpc(
+        model, s, u0, rc, fc,
+        ILQRConfig(iters=6, unroll=1, linearize="xla"), outer_iters=2,
+    )
+    # baseline: zero-control cost on the true dynamics
+    from nimblephysics_tpu.simulation.step import rollout
+
+    _, traj0 = rollout(model, s, u0)
+    xs0 = jnp.concatenate([s.flat()[None], traj0.flat()], axis=0)
+    ts = jnp.arange(T)
+    cost0 = jnp.sum(jax.vmap(rc)(xs0[:-1], u0, ts)) + fc(xs0[-1])
+    assert np.isfinite(float(sol.cost))
+    assert float(sol.cost) < float(cost0), (
+        f"frozen-mode MPC did not improve: {float(sol.cost)} vs {float(cost0)}"
+    )
+    assert classes_out.cmask.shape == (T, lcp_dim(model))
+
+
+def test_rollout_classes_mode_sequence_stable_at_rest(world):
+    model, s, tau = world
+    T = 12
+    acts = jnp.zeros((T, model.num_actions))
+    final, traj, classes, impulses = rollout_classes(model, s, acts)
+    assert classes.cmask.shape == (T, lcp_dim(model))
+    assert np.isfinite(np.asarray(traj.q)).all()
+    # Temporal stability: only asserted for the non-degenerate limit world.
+    # The worm's 8 coplanar box-floor slots have an indeterminate force
+    # distribution, so slot-level classes may legitimately wander at rest
+    # (the reference re-validates classes each step for the same reason,
+    # BoxedLcpConstraintSolver.cpp:422-458).
+    from nimblephysics_tpu.ops.collide import total_slots
+
+    if total_slots(model) == 0:
+        c = np.asarray(classes.cmask)
+        assert (c[1:] == c[1]).all()
