@@ -166,6 +166,19 @@ class Model:
         default=(), metadata=dict(static=True)
     )
 
+    # ---- loop-closure dynamic joint constraints ----
+    # (dart/constraint/BallJointConstraint.hpp:46, WeldJointConstraint.hpp:46)
+    # Static topology: (kind, body_a, body_b) with kind in {"ball", "weld"}
+    # and body_b = -1 anchoring to the world. Numeric anchor data are
+    # differentiable leaves: anchors in each body's local frame, and the
+    # target relative rotation R_ab for welds (identity rows for balls).
+    loops: Tuple[Tuple[str, int, int], ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+    loop_anchor_a: jax.Array = None  # (n_loops, 3) in body_a frame
+    loop_anchor_b: jax.Array = None  # (n_loops, 3) in body_b frame (world if body_b<0)
+    loop_rel_rot: jax.Array = None   # (n_loops, 3, 3) target R_a^T R_b (welds)
+
     # ------------------------------------------------------------------
     @property
     def num_bodies(self) -> int:

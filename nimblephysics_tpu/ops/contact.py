@@ -68,6 +68,13 @@ def coulomb_dofs(model: Model) -> Tuple[int, ...]:
     return tuple(int(d) for d in range(model.nq) if cf[d] > 0.0)
 
 
+def loop_rows(model: Model) -> int:
+    """LCP rows contributed by loop-closure constraints: 3 per ball joint
+    constraint, 6 per weld (BallJointConstraint.hpp:46 'getDimension() = 3',
+    WeldJointConstraint: 6)."""
+    return sum(3 if kind == "ball" else 6 for kind, _, _ in model.loops)
+
+
 def lcp_dim(model: Model) -> int:
     return (
         3 * total_slots(model)
@@ -75,6 +82,7 @@ def lcp_dim(model: Model) -> int:
         + len(coulomb_dofs(model))
         + len(model.servo_dofs)
         + len(model.mimic)
+        + loop_rows(model)
     )
 
 
@@ -86,6 +94,7 @@ def lcp_findex(model: Model) -> Tuple[int, ...]:
     fi.extend([-1] * (2 * len(limited_dofs(model))))
     fi.extend([-1] * len(coulomb_dofs(model)))
     fi.extend([-1] * (len(model.servo_dofs) + len(model.mimic)))
+    fi.extend([-1] * loop_rows(model))
     return tuple(fi)
 
 
@@ -264,6 +273,54 @@ def build_constraint_system(
         hi = jnp.concatenate([hi, model.tau_upper[d_idx2] * model.dt])
         fscale = jnp.concatenate([fscale, jnp.zeros(len(model.mimic), dtype)])
 
+    if model.loops:
+        # Loop-closure dynamic joint constraints: bilateral rows
+        # (lo=-inf, hi=+inf, findex=-1 — BallJointConstraint::getInformation,
+        # BallJointConstraint.cpp:129-160; WeldJointConstraint.cpp:136-183).
+        # Rows are expressed in WORLD axes (equivalent to the reference's
+        # body1-frame rows for an equality constraint); violation is
+        # ERP-stabilized: post-step J v' = -(erp/dt) * violation.
+        from nimblephysics_tpu.ops import lie
+
+        Jw_l = dyn.world_jacobian(model, kin) if K == 0 else Jw
+        rows_l, b_l = [], []
+        erp_over_dt = ERP / model.dt
+        for li, (kind, ba, bb) in enumerate(model.loops):
+            Ta = kin.T_wb[ba]
+            pa = Ta.R @ model.loop_anchor_a[li] + Ta.p
+            Jpt_a = Jw_l[ba][3:, :] + jnp.cross(
+                Jw_l[ba][:3, :], pa[:, None], axis=0
+            )
+            if bb >= 0:
+                Tb = kin.T_wb[bb]
+                pb = Tb.R @ model.loop_anchor_b[li] + Tb.p
+                Jpt_b = Jw_l[bb][3:, :] + jnp.cross(
+                    Jw_l[bb][:3, :], pb[:, None], axis=0
+                )
+                Rb = Tb.R
+                Jang_b = Jw_l[bb][:3, :]
+            else:
+                pb = model.loop_anchor_b[li]
+                Jpt_b = jnp.zeros((3, nq), dtype=dtype)
+                Rb = jnp.eye(3, dtype=dtype)
+                Jang_b = jnp.zeros((3, nq), dtype=dtype)
+            J_pos = Jpt_a - Jpt_b                      # (3, nq)
+            viol_pos = pa - pb
+            rows_l.append(J_pos)
+            b_l.append(-(J_pos @ v_star) - erp_over_dt * viol_pos)
+            if kind == "weld":
+                J_rot = Jw_l[ba][:3, :] - Jang_b       # world angular rows
+                R_err = Ta.R @ model.loop_rel_rot[li] @ Rb.T
+                viol_rot = lie.logm_so3(R_err)
+                rows_l.append(J_rot)
+                b_l.append(-(J_rot @ v_star) - erp_over_dt * viol_rot)
+        n_loop = loop_rows(model)
+        J = jnp.concatenate([J] + rows_l, axis=0)
+        b = jnp.concatenate([b] + b_l)
+        lo = jnp.concatenate([lo, jnp.full((n_loop,), -_BIG, dtype)])
+        hi = jnp.concatenate([hi, jnp.full((n_loop,), _BIG, dtype)])
+        fscale = jnp.concatenate([fscale, jnp.zeros(n_loop, dtype)])
+
     Cd = coulomb_dofs(model)
     if Cd:
         # Joint Coulomb friction (JointCoulombFrictionConstraint): boxed
@@ -343,3 +400,70 @@ def contact_step(
             clamping=clamping, upper=upper, upper_sign=s,
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Loop-closure constraint construction (the reference's dynamic joint
+# constraints: ConstraintSolver::addConstraint(BallJointConstraintPtr),
+# BallJointConstraint.cpp:43-92, WeldJointConstraint.cpp:41-90).
+# ---------------------------------------------------------------------------
+
+def add_ball_constraint(
+    model: Model, q, body_a: int, body_b: int, world_point
+) -> Model:
+    """Close a kinematic loop: pin `world_point` (computed at configuration
+    `q`) on body_a to the same material point on body_b (or to the world if
+    body_b < 0). Returns a new Model with the constraint installed as 3
+    bilateral LCP rows (BallJointConstraint.cpp:43: anchors are stored in
+    each body's local frame at creation time)."""
+    import numpy as np
+
+    kin = dyn.forward_kinematics(model, jnp.asarray(q))
+    p_w = jnp.asarray(world_point, dtype=model.mass.dtype)
+    Ta = kin.T_wb[body_a]
+    anchor_a = Ta.R.T @ (p_w - Ta.p)
+    if body_b >= 0:
+        Tb = kin.T_wb[body_b]
+        anchor_b = Tb.R.T @ (p_w - Tb.p)
+    else:
+        anchor_b = p_w
+    return _append_loop(model, ("ball", body_a, body_b), anchor_a, anchor_b,
+                        jnp.eye(3, dtype=model.mass.dtype))
+
+
+def add_weld_constraint(model: Model, q, body_a: int, body_b: int) -> Model:
+    """Weld body_a to body_b (or the world if body_b < 0) at their current
+    relative transform under configuration `q`
+    (WeldJointConstraint.cpp:41-66: mRelativeTransform captured at
+    creation). 6 bilateral LCP rows: 3 positional (anchored at body_a's
+    origin) + 3 rotational with so3-log orientation stabilization."""
+    kin = dyn.forward_kinematics(model, jnp.asarray(q))
+    Ta = kin.T_wb[body_a]
+    anchor_a = jnp.zeros(3, dtype=model.mass.dtype)  # body_a origin
+    if body_b >= 0:
+        Tb = kin.T_wb[body_b]
+        anchor_b = Tb.R.T @ (Ta.p - Tb.p)
+        rel_rot = Ta.R.T @ Tb.R
+    else:
+        anchor_b = Ta.p
+        rel_rot = Ta.R.T
+    return _append_loop(model, ("weld", body_a, body_b), anchor_a, anchor_b,
+                        rel_rot)
+
+
+def _append_loop(model: Model, spec, anchor_a, anchor_b, rel_rot) -> Model:
+    stackers = (
+        (model.loop_anchor_a, anchor_a),
+        (model.loop_anchor_b, anchor_b),
+        (model.loop_rel_rot, rel_rot),
+    )
+    new = []
+    for prev, add in stackers:
+        add = add[None]
+        new.append(add if prev is None else jnp.concatenate([prev, add]))
+    return model.replace(
+        loops=model.loops + (spec,),
+        loop_anchor_a=new[0],
+        loop_anchor_b=new[1],
+        loop_rel_rot=new[2],
+    )

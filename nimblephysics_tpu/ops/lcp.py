@@ -162,7 +162,11 @@ def _classify(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
     bounded = (~coupled) & (hi_const < _BIG / 2)
     inside = (x > lo_const + CLAMPING_THRESHOLD) & (x < hi_const - CLAMPING_THRESHOLD)
     bounded_clamp = bounded & inside
-    clamping = normal_clamp | fric_clamp | bounded_clamp
+    # Bilateral equality rows (loop-closure ball/weld joint constraints,
+    # BallJointConstraint.cpp:129-141: lo=-inf, hi=+inf): ALWAYS clamping —
+    # the constraint holds with equality regardless of impulse sign.
+    bilateral = (~coupled) & (lo_const < -_BIG / 2) & (hi_const > _BIG / 2)
+    clamping = normal_clamp | fric_clamp | bounded_clamp | bilateral
     upper_sign = jnp.sign(x) * fscale
     return clamping, fric_upper, upper_sign
 

@@ -141,6 +141,110 @@ class MPC:
         return self._plan
 
 
+class AsyncMPC:
+    """Background-replanning MPC — the actual `MPCLocal` concurrency model.
+
+    The reference runs a dedicated optimization thread
+    (`MPCLocal::start` -> `optimizationThreadLoop`,
+    dart/realtime/MPCLocal.cpp:364-418) that re-optimizes continuously while
+    the robot's control thread reads `getControlForceNow` from a
+    double-buffered force plan (RealTimeControlBuffer.hpp:20-84). Here the
+    replanner thread drives `MPC.replan_at` (the device solve releases the
+    GIL while XLA executes, so serving overlaps the solve) and publishes
+    each new plan twice:
+
+      * into the native seqlock `RtControlBuffer` — the lock-free kHz path
+        (`control_now_native`, no GIL-contended Python objects on read), and
+      * as an atomic Python `ControlPlan` swap for the gain-feedback path.
+
+    `control_now` never blocks on a replan in flight.
+    """
+
+    def __init__(self, mpc: MPC, clock: Optional[Callable[[], float]] = None,
+                 min_period: float = 0.0):
+        import threading
+
+        self.mpc = mpc
+        self._clock = clock if clock is not None else time.monotonic
+        self._min_period = min_period
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._replan_durations: list = []
+        try:
+            from nimblephysics_tpu.native import RtControlBuffer
+
+            self._buf = RtControlBuffer(mpc.config.horizon, mpc.model.num_actions)
+        except Exception:  # native lib unavailable: Python-swap only
+            self._buf = None
+
+    # -- observation / control side (robot threads) -------------------------
+    def record_state(self, t: float, state: State) -> None:
+        self.mpc.record_state(t, state)
+
+    def control_now(self, t: float, state: Optional[State] = None):
+        """Gain-feedback serving path: reads the atomically-swapped Python
+        plan. Never blocks on the replanner (plan swap is a single reference
+        assignment under the GIL)."""
+        return self.mpc.control_now(t, state)
+
+    def control_now_native(self, t: float) -> Optional[np.ndarray]:
+        """Lock-free open-loop serving path via the native seqlock buffer
+        (RealTimeControlBuffer::getPlannedForce). Safe from any thread."""
+        if self._buf is None:
+            u = self.control_now(t)
+            return np.asarray(u)
+        _, u = self._buf.control_at(t)
+        return u
+
+    # -- planner thread ------------------------------------------------------
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            t = self._clock()
+            dur = self.mpc.replan_at(t)
+            plan = self.mpc.plan
+            if plan is not None and self._buf is not None:
+                self._buf.publish(plan.start_time, plan.dt, np.asarray(plan.u))
+            if dur > 0:
+                self._replan_durations.append(dur)
+            # MPCLocal sleeps only if the solve beat the plan horizon; we
+            # optionally rate-limit to min_period for tests/CPU
+            if self._min_period > dur:
+                self._stop.wait(self._min_period - dur)
+
+    def start(self) -> None:
+        import threading
+
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+            self._thread = None
+
+    @property
+    def num_published(self) -> int:
+        if self._buf is not None:
+            return self._buf.num_published
+        return len(self._replan_durations)
+
+    @property
+    def replan_durations(self):
+        return list(self._replan_durations)
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False
+
+
 class Ticker:
     """Fixed-rate callback driver (`dart/realtime/Ticker`), synchronous
     variant for tests: `run(n)` invokes the callback n times at the given

@@ -44,6 +44,10 @@ def _restore_real_stdio() -> None:
                 continue
             if target.startswith("pipe:") or target.startswith("/dev/pts") or target.startswith("/dev/tty"):
                 candidates.append(fd)
+            elif target.startswith("/") and "(deleted)" not in target and os.path.exists(target):
+                # a live regular file = an explicit `> log` redirect from the
+                # invoking shell (pytest's capture temp files are unlinked)
+                candidates.append(fd)
         if candidates:
             os.dup2(candidates[0], 1)
             os.dup2(candidates[1] if len(candidates) > 1 else candidates[0], 2)
