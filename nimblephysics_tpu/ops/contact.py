@@ -127,6 +127,9 @@ class ContactSolveInfo(NamedTuple):
     clamping: jax.Array       # (m,) bool: constraint holds with equality
     upper: jax.Array          # (m,) bool: friction riding the cone surface
     upper_sign: jax.Array     # (m,) sign(x_i) * fscale_i for upper rows
+    residual: jax.Array = jnp.zeros(())  # scalar boxed-complementarity
+    #   violation of the returned impulses (ops/lcp.py lcp_residual — the
+    #   reference surfaces this via LCPUtils::isLCPSolutionValid)
 
 
 def build_constraint_system(
@@ -356,9 +359,19 @@ def contact_step(
     lcp_iters: Optional[int] = None,
     return_info: bool = False,
     servo_cmd: Optional[jax.Array] = None,
+    accuracy: str = "standard",
 ):
     """One differentiable constrained timestep. `servo_cmd` carries the
-    velocity commands for `model.servo_dofs` (SERVO actuator type)."""
+    velocity commands for `model.servo_dofs` (SERVO actuator type).
+
+    `accuracy`:
+      * "standard" — fixed-sweep PGS / direct active-set (the MPC hot path)
+      * "staged"   — residual-gated fallback cascade (deeper sweeps, then
+        frictionless restart; BoxedLcpConstraintSolver.cpp:390-470)
+      * "hyper"    — the reference's makeHyperAccurateAndVerySlow
+        (BoxedLcpConstraintSolver.hpp:94): staged cascade at ~40x sweep
+        depth; use for golden-data generation and accuracy studies
+    """
     q, v = state.q, state.v
     kin0 = dyn.forward_kinematics(model, q)
     qdd = dyn.aba(model, q, v, tau, kin=kin0)
@@ -368,7 +381,13 @@ def contact_step(
     if m == 0:
         q_next = step_mod.integrate_positions(model, q, v)
         return (State(q_next, v_star), None) if return_info else State(q_next, v_star)
-    if total_slots(model) > 0:
+    if accuracy == "hyper":
+        method = "staged"
+        lcp_iters = 2500 if lcp_iters is None else lcp_iters
+    elif accuracy == "staged":
+        method = "staged"
+        lcp_iters = 60 if lcp_iters is None else lcp_iters
+    elif total_slots(model) > 0:
         method = "gs"               # frictional contact: Gauss-Seidel depth
         lcp_iters = 60 if lcp_iters is None else lcp_iters
     else:
@@ -395,9 +414,13 @@ def contact_step(
         clamping, upper, s = lcp_mod._classify(
             x, lo, hi, fscale, lcp_findex(model)
         )
+        resid = lcp_mod.lcp_residual(
+            A, x, b, lo, hi, fscale, lcp_findex(model)
+        )
         return out, ContactSolveInfo(
             impulses=x, contacts=contacts, J=J, v_star=v_star,
             clamping=clamping, upper=upper, upper_sign=s,
+            residual=jax.lax.stop_gradient(resid),
         )
     return out
 

@@ -263,9 +263,84 @@ def direct_boxed_solve(
     return best_x
 
 
+def lcp_residual(A, x, b, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
+    """Boxed-complementarity residual of a candidate solution, with
+    friction-coupled bounds resolved (the convergence measure the
+    reference's PGS option `mEpsilonForDivision`/validation step uses —
+    LCPUtils::isLCPSolutionValid semantics, dart/math/LCPUtils.cpp:12).
+    Returns a scalar max-violation; 0 = exact solution."""
+    gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
+    coupled = jnp.asarray([f >= 0 for f in findex])
+    f_hi = fscale * jnp.maximum(x[gather], 0.0)
+    lo_i = jnp.where(coupled, -f_hi, lo_const)
+    hi_i = jnp.where(coupled, f_hi, hi_const)
+    w = A @ x - b
+    # boundary detection tolerance scales with the impulse magnitude only
+    # (hi contains the +-1e20 unbounded sentinels — never scale by it)
+    tol = jnp.asarray(
+        1e-10 if b.dtype == jnp.float64 else 1e-6, b.dtype
+    ) * jnp.maximum(1.0, jnp.max(jnp.abs(x), initial=0.0))
+    at_lo = x <= lo_i + tol
+    at_hi = x >= hi_i - tol
+    r = jnp.where(
+        at_lo, jnp.maximum(0.0, -w),
+        jnp.where(at_hi, jnp.maximum(0.0, w), jnp.abs(w)),
+    )
+    # out-of-box violation counts too
+    oob = jnp.maximum(lo_i - x, 0.0) + jnp.maximum(x - hi_i, 0.0)
+    return jnp.max(r + oob, initial=0.0)
+
+
+def staged_solve(A, b, lo, hi, fscale, x0, findex, iters=60, tol=1e-8):
+    """The reference's staged fallback chain
+    (BoxedLcpConstraintSolver.cpp:390-470: Dantzig direct pivoting →
+    secondary PGS with deeper settings → ignore friction), as a
+    residual-gated cascade:
+
+      1. PGS at the standard sweep count (warm-started)
+      2. if residual > tol: 10x deeper PGS continuation
+      3. if still > tol: DIRECT active-set solve with the friction-cone
+         bounds frozen at the current governing normal impulses (the
+         Dantzig-class stage — PGS stalls on ill-conditioned /
+         rank-deficient A where pivoting converges immediately), then one
+         standard PGS re-polish with the cone coupling live
+
+    Each stage runs under `lax.cond`, so an unbatched solve that converges
+    at stage 1 pays nothing extra (vmapped worlds pay the select — this
+    method is the opt-in robustness valve, not the MPC hot path). Returns
+    the lowest-residual candidate seen."""
+    x1 = pgs_solve(A, b, lo, hi, fscale, x0, findex, iters)
+    r1 = lcp_residual(A, x1, b, lo, hi, fscale, findex)
+
+    def deep(x):
+        return pgs_solve(A, b, lo, hi, fscale, x, findex, 10 * iters)
+
+    x2 = jax.lax.cond(r1 > tol, deep, lambda x: x, x1)
+    r2 = lcp_residual(A, x2, b, lo, hi, fscale, findex)
+
+    gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
+    coupled = jnp.asarray([f >= 0 for f in findex])
+
+    def direct_stage(x):
+        # freeze friction bounds at the current governing impulses; the
+        # boxed problem becomes constant-bounds and pivoting applies
+        f_hi = fscale * jnp.maximum(x[gather], 0.0)
+        lo_f = jnp.where(coupled, -f_hi, lo)
+        hi_f = jnp.where(coupled, f_hi, hi)
+        xd = direct_boxed_solve(A, b, lo_f, hi_f, rounds=8)
+        return pgs_solve(A, b, lo, hi, fscale, xd, findex, iters)
+
+    x3 = jax.lax.cond(r2 > 10 * tol, direct_stage, lambda x: x, x2)
+    r3 = lcp_residual(A, x3, b, lo, hi, fscale, findex)
+    # keep whichever candidate actually has the lower residual
+    return jnp.where(r3 < r2, x3, x2)
+
+
 def _solve(A, b, lo, hi, fscale, x0, findex, iters, method):
     if method == "direct":
         return direct_boxed_solve(A, b, lo, hi, rounds=min(iters, 4))
+    if method == "staged":
+        return staged_solve(A, b, lo, hi, fscale, x0, findex, iters)
     fn = jacobi_solve if method == "jacobi" else pgs_solve
     return fn(A, b, lo, hi, fscale, x0, findex, iters)
 

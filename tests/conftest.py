@@ -34,6 +34,7 @@ def _restore_real_stdio() -> None:
     lost."""
     try:
         candidates = []
+        regfiles = []
         for fd_name in sorted(os.listdir("/proc/self/fd"), key=int):
             fd = int(fd_name)
             if fd <= 2:
@@ -44,10 +45,18 @@ def _restore_real_stdio() -> None:
                 continue
             if target.startswith("pipe:") or target.startswith("/dev/pts") or target.startswith("/dev/tty"):
                 candidates.append(fd)
-            elif target.startswith("/") and "(deleted)" not in target and os.path.exists(target):
-                # a live regular file = an explicit `> log` redirect from the
-                # invoking shell (pytest's capture temp files are unlinked)
-                candidates.append(fd)
+            elif (
+                target.startswith("/")
+                and not target.startswith("/dev/")
+                and "(deleted)" not in target
+                and os.path.isfile(target)
+            ):
+                # a live regular file = an explicit `> log` redirect from
+                # the invoking shell (pytest's capture temp files are
+                # unlinked; /dev/null and sockets are not logs)
+                regfiles.append(fd)
+        if not candidates:
+            candidates = regfiles
         if candidates:
             os.dup2(candidates[0], 1)
             os.dup2(candidates[1] if len(candidates) > 1 else candidates[0], 2)
