@@ -48,10 +48,29 @@ LossFn = Callable[[Trajectory], jax.Array]
 
 @dataclasses.dataclass(frozen=True)
 class SingleShootingProblem:
+    """Decision variables: the control sequence, plus (reference parity)
+
+      * `static_vars` — names of Model leaves optimized as STATIC decision
+        variables shared across the horizon: the reference's flatStatic
+        segment is exactly the world masses (`Problem::flatten`,
+        Problem.cpp:160-184: `flatStatic.segment(0, massDims) = masses`);
+        any Model leaf name works here ("mass", "com", "damping", ...) —
+        system identification inside the trajectory optimization.
+      * `tune_start` — include the starting state in the decision vector
+        (`SingleShot::SingleShot(..., tuneStartingState)`,
+        SingleShot.cpp:29-32).
+      * `constraints` — LossFns used as bounded constraints: (fn, lo, hi)
+        triples (`LossFn::setLowerBound/setUpperBound`, LossFn.hpp:46-70),
+        enforced by an augmented-Lagrangian outer loop.
+    """
+
     model: Model
     x0: State
     horizon: int
     loss: LossFn
+    tune_start: bool = False
+    static_vars: tuple = ()
+    constraints: tuple = ()   # ((LossFn, lo, hi), ...)
 
     def rollout_controls(self, u: jax.Array) -> Trajectory:
         _, traj = rollout(self.model, self.x0, u)
@@ -60,11 +79,43 @@ class SingleShootingProblem:
     def objective(self, u: jax.Array) -> jax.Array:
         return self.loss(self.rollout_controls(u))
 
+    # -- generalized decision vector (flatStatic ++ flatDynamic) ------------
+    def initial_params(self, u_init: jax.Array) -> dict:
+        p = {"u": u_init}
+        if self.tune_start:
+            p["x0q"] = self.x0.q
+            p["x0v"] = self.x0.v
+        for name in self.static_vars:
+            p[name] = getattr(self.model, name)
+        return p
+
+    def build(self, params: dict):
+        """(model, x0) with the decision variables substituted in."""
+        model = self.model
+        if self.static_vars:
+            model = model.replace(
+                **{n: params[n] for n in self.static_vars}
+            )
+        x0 = (
+            State(q=params["x0q"], v=params["x0v"])
+            if self.tune_start
+            else self.x0
+        )
+        return model, x0
+
+    def rollout_params(self, params: dict) -> Trajectory:
+        model, x0 = self.build(params)
+        _, traj = rollout(model, x0, params["u"])
+        return Trajectory(q=traj.q, v=traj.v, u=params["u"])
+
 
 class ShootingSolution(NamedTuple):
     u: jax.Array            # optimized controls (T, na)
     loss: jax.Array         # final loss value
     loss_history: jax.Array # (iters,)
+    params: Optional[dict] = None   # full decision pytree (tuned start
+    #   state under "x0q"/"x0v", static sysid vars under their leaf names)
+    constraint_values: Optional[jax.Array] = None  # (n_constraints,)
 
 
 def solve_single_shooting(
@@ -99,24 +150,113 @@ def solve_single_shooting(
         return u
 
     opt = optax.sgd(lr) if optimizer == "sgd" else optax.adam(lr)
-    grad_fn = jax.value_and_grad(problem.objective)
 
-    def body(carry, _):
-        u, opt_state = carry
-        val, g = grad_fn(u)
-        if grad_clip is not None:
-            gn = jnp.sqrt(jnp.sum(g * g))
-            g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gn, 1e-12))
-            # non-finite guard: a NaN gradient must not poison the iterate
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-        updates, opt_state = opt.update(g, opt_state, u)
-        u = project(optax.apply_updates(u, updates))
-        return (u, opt_state), val
-
-    (u, _), hist = jax.lax.scan(
-        body, (project(u_init), opt.init(u_init)), None, length=iters
+    extended = (
+        problem.tune_start or problem.static_vars or problem.constraints
     )
-    return ShootingSolution(u=u, loss=problem.objective(u), loss_history=hist)
+    if not extended:
+        grad_fn = jax.value_and_grad(problem.objective)
+
+        def body(carry, _):
+            u, opt_state = carry
+            val, g = grad_fn(u)
+            if grad_clip is not None:
+                gn = jnp.sqrt(jnp.sum(g * g))
+                g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gn, 1e-12))
+                # non-finite guard: NaN gradients must not poison the iterate
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+            updates, opt_state = opt.update(g, opt_state, u)
+            u = project(optax.apply_updates(u, updates))
+            return (u, opt_state), val
+
+        (u, _), hist = jax.lax.scan(
+            body, (project(u_init), opt.init(u_init)), None, length=iters
+        )
+        return ShootingSolution(
+            u=u, loss=problem.objective(u), loss_history=hist
+        )
+
+    # -- generalized decision vector + augmented-Lagrangian constraints ----
+    # (Problem.cpp:160-184 static vars; SingleShot.cpp:29-32 tuned start;
+    # LossFn.hpp:46-70 bounded-constraint LossFns.)
+    ncon = len(problem.constraints)
+    dtype = model.mass.dtype
+    c_lo = jnp.asarray([c[1] for c in problem.constraints], dtype) if ncon else None
+    c_hi = jnp.asarray([c[2] for c in problem.constraints], dtype) if ncon else None
+
+    def con_values(params):
+        traj = problem.rollout_params(params)
+        return jnp.stack([fn(traj) for fn, _, _ in problem.constraints])
+
+    def al_objective(params, lam_lo, lam_hi, mu):
+        traj = problem.rollout_params(params)
+        val = problem.loss(traj)
+        if ncon:
+            g = jnp.stack([fn(traj) for fn, _, _ in problem.constraints])
+            # PHR augmented Lagrangian for g in [lo, hi]
+            t_hi = jnp.maximum(0.0, lam_hi + mu * (g - c_hi))
+            t_lo = jnp.maximum(0.0, lam_lo + mu * (c_lo - g))
+            val = val + jnp.sum(t_hi**2 - lam_hi**2 + t_lo**2 - lam_lo**2) / (
+                2.0 * mu
+            )
+        return val
+
+    def project_params(p):
+        p = dict(p)
+        p["u"] = project(p["u"])
+        if "mass" in p:  # physical positivity (world mass lower bound)
+            p["mass"] = jnp.maximum(p["mass"], 1e-6)
+        return p
+
+    params0 = project_params(problem.initial_params(u_init))
+    lam_lo0 = jnp.zeros((ncon,), dtype) if ncon else jnp.zeros((0,), dtype)
+    lam_hi0 = jnp.zeros_like(lam_lo0)
+    outer = 6 if ncon else 1
+    inner_iters = max(1, iters // outer)
+    mu0 = jnp.asarray(10.0, dtype)
+
+    def inner(params, lam_lo, lam_hi, mu):
+        opt_state = opt.init(params)
+
+        def body(carry, _):
+            p, os = carry
+            val, g = jax.value_and_grad(al_objective)(p, lam_lo, lam_hi, mu)
+            if grad_clip is not None:
+                gn = optax.global_norm(g)
+                scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gn, 1e-12))
+                g = jax.tree_util.tree_map(
+                    lambda x: jnp.where(jnp.isfinite(x), x * scale, 0.0), g
+                )
+            updates, os = opt.update(g, os, p)
+            p = project_params(optax.apply_updates(p, updates))
+            return (p, os), val
+
+        (params, _), hist = jax.lax.scan(
+            body, (params, opt_state), None, length=inner_iters
+        )
+        return params, hist
+
+    def outer_body(carry, _):
+        params, lam_lo, lam_hi, mu = carry
+        params, hist = inner(params, lam_lo, lam_hi, mu)
+        if ncon:
+            g = con_values(params)
+            lam_hi = jnp.maximum(0.0, lam_hi + mu * (g - c_hi))
+            lam_lo = jnp.maximum(0.0, lam_lo + mu * (c_lo - g))
+            mu = mu * 2.0
+        return (params, lam_lo, lam_hi, mu), hist
+
+    (params, _, _, _), hists = jax.lax.scan(
+        outer_body, (params0, lam_lo0, lam_hi0, mu0), None, length=outer
+    )
+    final_loss = problem.loss(problem.rollout_params(params))
+    return ShootingSolution(
+        u=params["u"],
+        loss=final_loss,
+        loss_history=hists.reshape(-1),
+        params=params,
+        constraint_values=con_values(params) if ncon else None,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
