@@ -51,32 +51,49 @@ def sharded_mpc_solves(
     horizon: int,
     iters: int = 8,
     axis: str = "dp",
+    with_classes: bool = False,
 ):
     """Return a jitted fn: (x0_flat (B, 2nq), u_warm (B, H, na)) ->
     (u (B,H,na), mean_cost ()) with B sharded over `axis`.
 
     This is the scale-out of the BASELINE metric: B scenario replans per
     call, scenarios split across devices, one psum for the aggregate cost.
+
+    `with_classes=True` adds a third argument: per-world FrozenClasses
+    with leading (B, H) axes (from `ops/frozen_contact.rollout_classes`
+    vmapped over worlds), sharded over `axis` alongside the states — the
+    contact-model MPC fast path on the mesh.
     """
 
-    def solve_one(x0_flat, u_warm):
+    def solve_one(x0_flat, u_warm, classes=None):
         sol = ilqr_solve(
             model, State.from_flat(x0_flat), u_warm, running_cost, final_cost,
-            ILQRConfig(iters=iters),
+            ILQRConfig(iters=iters), classes=classes,
         )
         return sol.u, sol.cost
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P()),
-    )
-    def solve_shard(x0s, u_warms):
-        us, costs = jax.vmap(solve_one)(x0s, u_warms)
-        mean_local = jnp.sum(costs)
-        total = jax.lax.psum(mean_local, axis)
-        return us, total / x0s.shape[0] / jax.lax.psum(1, axis)
+    if with_classes:
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P()),
+        )
+        def solve_shard(x0s, u_warms, classes):
+            us, costs = jax.vmap(solve_one)(x0s, u_warms, classes)
+            total = jax.lax.psum(jnp.sum(costs), axis)
+            return us, total / x0s.shape[0] / jax.lax.psum(1, axis)
+    else:
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P()),
+        )
+        def solve_shard(x0s, u_warms):
+            us, costs = jax.vmap(solve_one)(x0s, u_warms)
+            total = jax.lax.psum(jnp.sum(costs), axis)
+            return us, total / x0s.shape[0] / jax.lax.psum(1, axis)
 
     return jax.jit(solve_shard)
 
