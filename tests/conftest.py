@@ -91,7 +91,32 @@ import jax
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the suite's cold run is dominated by XLA:CPU
 # compiles of big solver graphs; warm reruns hit this cache instead.
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache_cpu")
-)
+_CACHE_DIR = os.path.join(_REPO_ROOT, ".jax_cache_cpu")
+
+
+def _prune_foreign_cache_entries(cache_dir: str) -> None:
+    """Remove cache entries compiled for a different target machine.
+
+    The sandbox's remote compile service emits XLA:CPU AOT artifacts with
+    axon-tuned target features (+prefer-no-scatter/+prefer-no-gather);
+    loading those into the local CPU backend has produced hard SIGSEGV in
+    `compilation_cache.get_executable_and_time` mid-suite. Entries are
+    small; deleting a handful only costs a recompile."""
+    try:
+        import glob
+
+        for f in glob.glob(os.path.join(cache_dir, "*-cache")):
+            try:
+                with open(f, "rb") as fh:
+                    data = fh.read()
+                if b"prefer-no-gather" in data or b"prefer-no-scatter" in data:
+                    os.remove(f)
+            except OSError:
+                continue
+    except Exception:
+        pass
+
+
+_prune_foreign_cache_entries(_CACHE_DIR)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
