@@ -31,6 +31,73 @@ class MarkerFitResult(NamedTuple):
     marker_rmse: jax.Array   # final RMS marker distance
 
 
+def _gn_frame(model: Model, markers: MarkerSet, q0, obs_t, w_t,
+              iters: int = 10, damping: float = 1e-5):
+    """Single-frame damped Gauss-Newton IK step loop (the reference's
+    per-frame Newton IK, math/IKSolver); accepts only improving steps."""
+    nq = model.nq
+
+    def res_fn(q):
+        pred = marker_world_positions(model, markers, q)
+        return ((pred - obs_t) * w_t).reshape(-1)
+
+    def body(q, _):
+        r = res_fn(q)
+        J = jax.jacfwd(res_fn)(q)
+        H = J.T @ J + damping * jnp.eye(nq, dtype=q.dtype)
+        dq = jnp.linalg.solve(H, J.T @ r)
+        q2 = q - dq
+        better = jnp.sum(res_fn(q2) ** 2) < jnp.sum(r * r)
+        return jnp.where(better, q2, q), None
+
+    q, _ = jax.lax.scan(body, q0, None, length=iters)
+    return q
+
+
+def ik_polish(
+    model: Model,
+    markers: MarkerSet,
+    observed: jax.Array,       # (T, nm, 3)
+    w: jax.Array,              # (T, nm, 1) weights
+    poses: jax.Array,          # (T, nq)
+    iters: int = 10,
+    damping: float = 1e-5,
+) -> jax.Array:
+    """Per-frame damped Gauss-Newton IK polish, vmapped over frames
+    (the reference's per-frame Newton IK inside the kinematics pipeline,
+    MarkerFitter.hpp:633)."""
+    return jax.vmap(
+        lambda q0, o, ww: _gn_frame(model, markers, q0, o, ww, iters, damping)
+    )(poses, observed, w)
+
+
+def sequential_ik_track(
+    model: Model,
+    markers: MarkerSet,
+    observed: jax.Array,       # (T, nm, 3)
+    w: jax.Array,              # (T, nm, 1)
+    q0: jax.Array,             # (nq,) starting pose (model default pose)
+    first_iters: int = 40,
+    track_iters: int = 6,
+) -> jax.Array:
+    """Track the trial sequentially: solve frame 0 from the default pose,
+    then initialize each frame's GN from the previous frame's solution —
+    temporal continuity keeps every frame in the same kinematic basin
+    (per-frame independent inits fall into mirrored/twisted limb minima).
+    This is the reference pipeline's IK-init role (MarkerFitter's
+    per-trial initial IK pass)."""
+    q_first = _gn_frame(model, markers, q0, observed[0], w[0],
+                        iters=first_iters)
+
+    def step(q_prev, inputs):
+        obs_t, w_t = inputs
+        q = _gn_frame(model, markers, q_prev, obs_t, w_t, iters=track_iters)
+        return q, q
+
+    _, q_track = jax.lax.scan(step, q_first, (observed, w))
+    return q_track
+
+
 def fit_markers(
     model: Model,
     markers: MarkerSet,
@@ -41,8 +108,8 @@ def fit_markers(
     lr: float = 2e-2,
     scale_bounds: tuple = (0.7, 1.4),
     regularize_offsets: float = 1.0,
-    regularize_scales: float = 0.1,
-    smooth_poses: float = 0.01,
+    regularize_scales: float = 1e-3,
+    smooth_poses: float = 1e-3,
     scale_prior=None,                    # optional Anthropometrics
 ) -> MarkerFitResult:
     """Jointly fit (scales, marker offsets, per-frame poses)."""
@@ -54,7 +121,12 @@ def fit_markers(
         observed_mask = jnp.ones((T, nm), dtype=bool)
     w = observed_mask.astype(dtype)[..., None]
     if q_init is None:
-        q_init = jnp.zeros((T, nq), dtype=dtype)
+        q_init = jnp.zeros((nq,), dtype=dtype)
+    q_init = jnp.asarray(q_init, dtype=dtype)
+    if q_init.ndim == 1:
+        # single starting pose: sequential GN tracking builds the initial
+        # trajectory (frame-to-frame continuity avoids mirrored-limb basins)
+        q_init = sequential_ik_track(model, markers, observed, w, q_init)
 
     params0 = dict(
         log_scales=jnp.zeros((nb, 3), dtype=dtype),
@@ -87,17 +159,54 @@ def fit_markers(
             reg += -1e-3 * scale_prior.log_pdf(scales)
         return data + reg
 
-    opt = optax.adam(lr)
+    # Staged optimization (the reference's pipeline structure,
+    # MarkerFitter::runKinematicsPipeline, MarkerFitter.hpp:633:
+    # initial per-frame IK -> joint scale/offset/pose bilevel): stage 1
+    # fits POSES ONLY (scales/offsets frozen) so the kinematics land in
+    # the right basin before the subject-level variables can compensate;
+    # stage 2 optimizes the joint pytree with a cosine-decayed step.
+    def masked_stage(params, n_steps, mask_fn, schedule):
+        opt = optax.adam(schedule)
+        opt_state = opt.init(params)
 
-    def body(carry, _):
-        p, s = carry
-        val, g = jax.value_and_grad(loss)(p)
-        updates, s = opt.update(g, s, p)
-        return (optax.apply_updates(p, updates), s), val
+        def body(carry, _):
+            p, s = carry
+            val, g = jax.value_and_grad(loss)(p)
+            g = mask_fn(g)
+            updates, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), val
 
-    (params, _), hist = jax.lax.scan(
-        body, (params0, opt.init(params0)), None, length=iters
+        (params, _), hist = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, hist
+
+    n1 = max(1, iters // 3)
+    n2 = max(1, iters - n1)
+
+    def poses_only(g):
+        return dict(
+            log_scales=jnp.zeros_like(g["log_scales"]),
+            d_offsets=jnp.zeros_like(g["d_offsets"]),
+            poses=g["poses"],
+        )
+
+    def polish(params, gn_iters=10):
+        m2, mk2, _ = build(params)
+        q2 = ik_polish(m2, mk2, observed, w, params["poses"], iters=gn_iters)
+        return {**params, "poses": q2}
+
+    # stage 1: coarse per-frame pose fit (Adam basin-finding + GN landing)
+    params, hist1 = masked_stage(params0, n1, poses_only, lr)
+    params = polish(params)
+    # stage 2: joint bilevel (scales/offsets/poses), then a final GN
+    # landing on the fitted subject geometry
+    params, hist2 = masked_stage(
+        params, n2, lambda g: g,
+        optax.cosine_decay_schedule(lr, n2, alpha=0.05),
     )
+    params = polish(params)
+    hist = jnp.concatenate([hist1, hist2])
 
     m2, mk2, scales = build(params)
     pred = jax.vmap(lambda q: marker_world_positions(m2, mk2, q))(params["poses"])

@@ -111,6 +111,9 @@ class MarkerMocap:
             )
             observed = jnp.nan_to_num(observed)
 
+        if "q_init" not in kwargs and self.state is not None:
+            # start sequential IK tracking from the model's default pose
+            kwargs = {**kwargs, "q_init": self.state.q}
         fit: MarkerFitResult = jax.jit(
             lambda obs, mm: fit_markers(
                 self.model, markers, obs, observed_mask=mm, iters=iters,

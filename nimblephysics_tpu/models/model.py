@@ -166,6 +166,12 @@ class Model:
         default=(), metadata=dict(static=True)
     )
 
+    # ---- per-dof coordinate names (DegreeOfFreedom::getName; OpenSim
+    # coordinate names for .osim models — () means auto-generated) ----
+    dof_names: Tuple[str, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
     # ---- loop-closure dynamic joint constraints ----
     # (dart/constraint/BallJointConstraint.hpp:46, WeldJointConstraint.hpp:46)
     # Static topology: (kind, body_a, body_b) with kind in {"ball", "weld"}
@@ -260,6 +266,7 @@ def build_model(
     inf = float("inf")
 
     custom_specs = []
+    dof_names = []
     for i, j in enumerate(joints):
         t = j["type"]
         spec = j.get("custom_spec")
@@ -295,6 +302,17 @@ def build_model(
         q_hi.extend(_per_dof(j.get("q_upper", inf), nd))
         tau_lo.extend(_per_dof(j.get("tau_lower", -inf), nd))
         tau_hi.extend(_per_dof(j.get("tau_upper", inf), nd))
+        jdn = j.get("dof_names")
+        if jdn is not None:
+            dof_names.extend(jdn[:nd])
+            dof_names.extend(
+                f"{jnames[-1]}_{k}" for k in range(len(jdn), nd)
+            )
+        else:
+            dof_names.extend(
+                [jnames[-1]] if nd == 1
+                else [f"{jnames[-1]}_{k}" for k in range(nd)]
+            )
 
     nq = len(damping)
     if actuated is None:
@@ -327,6 +345,7 @@ def build_model(
         dt=arr(dt),
         shapes=tuple(shapes),
         actuated=tuple(actuated),
+        dof_names=tuple(dof_names),
         custom_specs=(
             tuple(custom_specs) if any(s is not None for s in custom_specs) else ()
         ),

@@ -293,6 +293,7 @@ def parse_osim(path: str, dtype=None, ignore_joint_types: Tuple[str, ...] = ()
                 custom_spec=spec,
                 mass=mass, com=com, moment=moment,
                 q_lower=lo, q_upper=hi,
+                dof_names=tuple(c["name"] for c in coords_meta),
             )
         )
         init_q.extend(defaults)
@@ -515,6 +516,7 @@ def _parse_osim_v4(model_el, dtype, ignore_joint_types):
                 custom_spec=spec,
                 mass=bd["mass"], com=bd["com"], moment=bd["moment"],
                 q_lower=lo, q_upper=hi,
+                dof_names=tuple(c["name"] for c in coords_meta),
             ))
             init_q.extend(defaults)
         pending = remaining
