@@ -167,31 +167,44 @@ def main() -> None:
     cfg_contact = ILQRConfig(iters=max(2, ITERS // 2), alphas=ALPHAS[:4],
                              unroll=1)
 
+    # Fail-soft: each config is timed independently; one config crashing
+    # must not zero out the round's evidence (round-2 lesson). Errors are
+    # reported alongside the numbers and drag the headline to 0 so a crash
+    # is never hidden.
+    runs = [
+        ("cartpole_b4096", "cartpole", lambda: bench_cartpole(H, B, cfg)),
+        ("half_cheetah_b1024", "half_cheetah",
+         lambda: bench_half_cheetah(H, B_CONTACT, cfg_contact)),
+        ("jump_worm_contact_b1024", "jump_worm",
+         lambda: bench_jump_worm(H, B_CONTACT, cfg_contact)),
+    ]
     configs = {}
-    if not only or only == "cartpole":
-        configs["cartpole_b4096"] = round(bench_cartpole(H, B, cfg), 2)
-    if not only or only == "half_cheetah":
-        configs["half_cheetah_b1024"] = round(
-            bench_half_cheetah(H, B_CONTACT, cfg_contact), 2
-        )
-    if not only or only == "jump_worm":
-        configs["jump_worm_contact_b1024"] = round(
-            bench_jump_worm(H, B_CONTACT, cfg_contact), 2
-        )
+    errors = {}
+    for name, key, fn in runs:
+        if only and only != key:
+            continue
+        try:
+            configs[name] = round(fn(), 2)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            import traceback
 
-    value = min(configs.values())
+            errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            traceback.print_exc(file=sys.stderr)
+
+    # A crashed config is worse than a slow one: headline 0.0, but the
+    # per-config numbers that DID run are still reported.
+    value = 0.0 if (errors or not configs) else min(configs.values())
     target = 1000.0
-    print(
-        json.dumps(
-            {
-                "metric": "batched_mpc_solves_per_s_h100_worst_config",
-                "value": value,
-                "unit": "solves/s",
-                "vs_baseline": round(value / target, 3),
-                "configs": configs,
-            }
-        )
-    )
+    out = {
+        "metric": "batched_mpc_solves_per_s_h100_worst_config",
+        "value": value,
+        "unit": "solves/s",
+        "vs_baseline": round(value / target, 3),
+        "configs": configs,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

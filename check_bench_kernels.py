@@ -1,14 +1,29 @@
-"""Bench-shape kernel validation: `ilqr_solve_batch` (the fused Pallas
-pipeline bench.py times) vs `vmap(ilqr_solve)` (the scan-based XLA
-reference) AT THE BENCH SHAPES — H=100, B>=1024 — on the real TPU.
+"""Bench-shape kernel validation on the real TPU — ALL THREE bench configs.
 
-The per-kernel unit tests (tests/test_pallas.py) validate at small
-shapes; this script pins the headline number to kernels validated at the
-shapes it is measured at. Run:
+Validates the exact code paths bench.py times, at the shapes it times them:
+
+  * cartpole      — `ilqr_solve_batch` (fused Pallas linearize/Riccati/
+                    rollout) vs `vmap(ilqr_solve)` (scan-based XLA)
+  * half_cheetah  — `solve_contact_mpc_batch` (fused frozen-contact
+                    pipeline) vs `vmap(solve_contact_mpc)` with the XLA
+                    linearizer, both evaluated on the TRUE constrained
+                    dynamics
+  * jump_worm     — same, full 28-row frictional LCP
+
+The per-kernel unit tests (tests/test_pallas.py) validate at small shapes;
+this script pins the headline number to kernels validated at the shapes it
+is measured at. Run:
 
     env PYTHONPATH=/root/.axon_site:/root/repo python check_bench_kernels.py
 
 Writes KERNEL_VALIDATION.md with the measured deviations.
+
+Acceptance is DISTRIBUTIONAL, and the per-sample caveat is stated plainly
+in the output: both paths run f32 and take different line-search
+trajectories on hard instances, so per-sample controls at a fixed
+iteration budget are NOT interchangeable (max per-sample deviations are
+reported, not hidden); the mean cost over the batch must match within
+0.5%, and neither path may be systematically better.
 """
 
 import os
@@ -32,10 +47,33 @@ from nimblephysics_tpu.trajectory.ilqr import (
     ILQRConfig,
     ilqr_solve,
     ilqr_solve_batch,
+    solve_contact_mpc,
+    solve_contact_mpc_batch,
 )
 
 
-def compare(H=100, B=1024, iters=8):
+def _stats(name, H, B, iters, cost_f, cost_r, u_f, u_r):
+    cost_f = np.asarray(cost_f, np.float64)
+    cost_r = np.asarray(cost_r, np.float64)
+    u_f = np.asarray(u_f, np.float64)
+    u_r = np.asarray(u_r, np.float64)
+    cost_rel = np.abs(cost_f - cost_r) / np.maximum(1e-9, np.abs(cost_r))
+    u_scale = np.maximum(1e-6, np.abs(u_r).max())
+    worse = (cost_f - cost_r) / np.maximum(1e-9, np.abs(cost_r))
+    return dict(
+        name=name, H=H, B=B, iters=iters,
+        cost_rel_max=float(cost_rel.max()),
+        cost_rel_mean=float(cost_rel.mean()),
+        mean_cost_gap=float(
+            (cost_f.mean() - cost_r.mean()) / max(1e-9, abs(cost_r.mean()))
+        ),
+        frac_fused_worse_1pct=float((worse > 0.01).mean()),
+        frac_ref_worse_1pct=float((worse < -0.01).mean()),
+        u_rel_max=float(np.abs(u_f - u_r).max() / u_scale),
+    )
+
+
+def compare_cartpole(H=100, B=1024, iters=8):
     model = relax_limits(builders.cartpole(dt=0.02))
     nq, na = model.nq, model.num_actions
     cfg = ILQRConfig(iters=iters)
@@ -53,7 +91,6 @@ def compare(H=100, B=1024, iters=8):
     fused = jax.jit(
         lambda xs, us: ilqr_solve_batch(model, xs, us, running, final, cfg)
     )(x0, u0)
-
     ref = jax.jit(
         jax.vmap(
             lambda xf, uw: ilqr_solve(
@@ -61,68 +98,179 @@ def compare(H=100, B=1024, iters=8):
             )
         )
     )(x0, u0)
+    return _stats(f"cartpole", H, B, iters, fused.cost, ref.cost,
+                  fused.u, ref.u)
 
-    cost_f = np.asarray(fused.cost, dtype=np.float64)
-    cost_r = np.asarray(ref.cost, dtype=np.float64)
-    u_f = np.asarray(fused.u, dtype=np.float64)
-    u_r = np.asarray(ref.u, dtype=np.float64)
 
-    cost_rel = np.abs(cost_f - cost_r) / np.maximum(1e-9, np.abs(cost_r))
-    u_scale = np.maximum(1e-6, np.abs(u_r).max())
-    u_rel = np.abs(u_f - u_r).max() / u_scale
-    worse = (cost_f - cost_r) / np.maximum(1e-9, np.abs(cost_r))
-    return dict(
-        H=H, B=B, iters=iters,
-        cost_rel_max=float(cost_rel.max()),
-        cost_rel_mean=float(cost_rel.mean()),
-        mean_cost_gap=float((cost_f.mean() - cost_r.mean()) / cost_r.mean()),
-        frac_fused_worse_1pct=float((worse > 0.01).mean()),
-        frac_ref_worse_1pct=float((worse < -0.01).mean()),
-        u_rel_max=float(u_rel),
+def _compare_contact(name, model, x0, u0, running, final, H, B, iters):
+    """Fused contact pipeline vs vmapped XLA-linearize pipeline; both
+    cost-evaluated on the TRUE constrained dynamics (solve_contact_mpc
+    does so internally; for the batch path we recompute)."""
+    from nimblephysics_tpu.simulation.step import rollout as full_rollout
+
+    cfg = ILQRConfig(iters=iters, alphas=(1.0, 0.6, 0.3, 0.1), unroll=1)
+    cfg_xla = ILQRConfig(iters=iters, alphas=(1.0, 0.6, 0.3, 0.1),
+                         unroll=1, linearize="xla")
+
+    sol_f, _ = jax.jit(
+        lambda a, b: solve_contact_mpc_batch(
+            model, a, b, running, final, cfg, outer_iters=1
+        )
+    )(x0, u0)
+
+    ref = jax.jit(
+        jax.vmap(
+            lambda xf, uw: solve_contact_mpc(
+                model, State.from_flat(xf), uw, running, final, cfg_xla,
+                outer_iters=1,
+            )[0]
+        )
+    )(x0, u0)
+
+    # evaluate BOTH on the true constrained dynamics (weak-#7 closure:
+    # plan quality at bench shapes on the real plant)
+    ts = jnp.arange(H)
+
+    def true_cost(x0f, u):
+        _, traj = full_rollout(model, State.from_flat(x0f), u)
+        xs = jnp.concatenate([x0f[None], traj.flat()], axis=0)
+        return jnp.sum(jax.vmap(running)(xs[:-1], u, ts)) + final(xs[-1])
+
+    tc = jax.jit(jax.vmap(true_cost))
+    cost_f = tc(x0, sol_f.u)
+    cost_r = tc(x0, ref.u)
+
+    # plan quality on the true dynamics: fused plans must improve on the
+    # warm start for the overwhelming majority of worlds
+    cost_w = tc(x0, u0)
+    frac_improved = float((np.asarray(cost_f) < np.asarray(cost_w)).mean())
+    out = _stats(name, H, B, iters, cost_f, cost_r, sol_f.u, ref.u)
+    out["frac_improved_vs_warmstart"] = frac_improved
+    return out
+
+
+def compare_half_cheetah(H=100, B=1024, iters=4):
+    from nimblephysics_tpu.ops.frozen_contact import planner_reduce_contacts
+    from nimblephysics_tpu.utils.skel_parser import parse_skel
+
+    model, s0 = parse_skel("/root/reference/data/skel/half_cheetah.skel")
+    planner = planner_reduce_contacts(
+        model, ["half_cheetah/b_foot", "half_cheetah/f_foot"]
     )
+    nq, na = planner.nq, planner.num_actions
+
+    def running(x, u, t):
+        return -1.0 * x[nq] + 1e-4 * jnp.sum(u**2) + 0.5 * x[2] ** 2
+
+    def final(x):
+        return -5.0 * x[nq]
+
+    s0f = s0.flat().astype(jnp.float32)
+    key = jax.random.PRNGKey(1)
+    x0 = s0f[None, :] + 0.05 * jax.random.normal(key, (B, 2 * nq),
+                                                 dtype=s0f.dtype)
+    u0 = jnp.zeros((B, H, na))
+    return _compare_contact("half_cheetah", planner, x0, u0, running, final,
+                            H, B, iters)
+
+
+def compare_jump_worm(H=100, B=1024, iters=4):
+    model = builders.jump_worm(dt=0.001)
+    nq, na = model.nq, model.num_actions
+
+    def running(x, u, t):
+        return 1e-5 * jnp.sum(u**2) + 2.0 * (x[1] + 0.4) ** 2
+
+    def final(x):
+        return 20.0 * (x[1] + 0.4) ** 2
+
+    key = jax.random.PRNGKey(2)
+    q = jnp.zeros((B, nq), jnp.float32).at[:, 1].set(-0.5)
+    q = q + 0.02 * jax.random.normal(key, (B, nq), dtype=q.dtype)
+    x0 = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+    u0 = jnp.zeros((B, H, na))
+    return _compare_contact("jump_worm", model, x0, u0, running, final,
+                            H, B, iters)
+
+
+HEADER = """# Bench-shape kernel validation (real TPU)
+
+The fused Pallas pipelines bench.py times, vs the scan-based XLA reference
+paths, at the bench shapes, on the real chip. Contact rows additionally
+evaluate both plans on the TRUE constrained dynamics and report the
+fraction of worlds the fused plan improves over the warm start.
+
+**Per-sample caveat (stated plainly):** both paths run f32 and take
+different line-search trajectories on hard instances, so per-sample
+controls at a FIXED iteration budget are NOT interchangeable — the
+"max rel u dev" column records per-sample control deviations of order
+1e0 on the hardest worlds (an f64-CPU anchor on round-2's worst samples
+showed the f32 XLA path BELOW the f64 solution on 4/5 and the fused path
+closest to it — iteration-path sensitivity, not kernel error; the 20-iter
+cartpole row, where both paths converge, shrinks the gap toward zero).
+Acceptance is therefore distributional: |mean cost gap| < 0.5% and
+neither path systematically better."""
 
 
 def main():
-    rows = [
-        compare(H=100, B=1024, iters=8),
-        compare(H=100, B=4096, iters=8),
-        compare(H=100, B=1024, iters=20),
+    only = os.environ.get("CHECK_ONLY", "")
+    jobs = [
+        ("cartpole", lambda: [
+            compare_cartpole(H=100, B=1024, iters=8),
+            compare_cartpole(H=100, B=4096, iters=8),
+            compare_cartpole(H=100, B=1024, iters=20),
+        ]),
+        ("half_cheetah", lambda: [compare_half_cheetah(H=100, B=1024)]),
+        ("jump_worm", lambda: [compare_jump_worm(H=100, B=1024)]),
     ]
-    lines = [
-        "# Bench-shape kernel validation (real TPU)",
-        "",
-        "`ilqr_solve_batch` (fused Pallas linearize/Riccati/rollout kernels,",
-        "the path bench.py times) vs `vmap(ilqr_solve)` (scan-based XLA",
-        "reference) at the bench shapes. Both run f32; the two paths take",
-        "different line-search trajectories on hard instances, so per-sample",
-        "costs at a FIXED iteration budget can differ in either direction",
-        "(an f64-CPU anchor on the worst-deviating samples showed the f32",
-        "XLA path BELOW the f64 solution on 4/5 and the fused path closest",
-        "to it — iteration-path sensitivity, not kernel error). Acceptance",
-        "is therefore distributional: the mean cost over the batch must",
-        "match within 0.5%, tightening with more iterations.",
-        "",
-        "| H | B | iters | mean-cost gap | mean rel dev | fused >1% worse | ref >1% worse | max rel u dev |",
-        "|---|---|---|---|---|---|---|---|",
+    rows = []
+    failures = []
+    for name, fn in jobs:
+        if only and only != name:
+            continue
+        try:
+            rows.extend(fn())
+        except Exception as e:  # noqa: BLE001 — record, keep validating
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            failures.append(f"{name}: {type(e).__name__}: "
+                            f"{str(e).splitlines()[0][:160]}")
+
+    lines = [HEADER, ""]
+    lines += [
+        "| config | H | B | iters | mean-cost gap | mean rel dev "
+        "| fused >1% worse | ref >1% worse | max rel u dev | improved vs warm |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    ok = True
+    ok = bool(rows)
     for r in rows:
+        imp = r.get("frac_improved_vs_warmstart")
         lines.append(
-            f"| {r['H']} | {r['B']} | {r['iters']} | {r['mean_cost_gap']:+.4%} "
-            f"| {r['cost_rel_mean']:.2e} | {r['frac_fused_worse_1pct']:.4f} "
-            f"| {r['frac_ref_worse_1pct']:.4f} | {r['u_rel_max']:.2e} |"
+            f"| {r['name']} | {r['H']} | {r['B']} | {r['iters']} "
+            f"| {r['mean_cost_gap']:+.4%} | {r['cost_rel_mean']:.2e} "
+            f"| {r['frac_fused_worse_1pct']:.4f} "
+            f"| {r['frac_ref_worse_1pct']:.4f} | {r['u_rel_max']:.2e} "
+            f"| {'—' if imp is None else f'{imp:.4f}'} |"
         )
         print(r)
         if abs(r["mean_cost_gap"]) > 5e-3 or r["cost_rel_mean"] > 2e-2:
             ok = False
+        if imp is not None and imp < 0.95:
+            ok = False
+    if failures:
+        ok = False
+        lines.append("")
+        lines.append("Failures: " + "; ".join(failures))
     lines.append("")
     lines.append(
-        f"Verdict: {'PASS' if ok else 'FAIL'} — fused batched solves are "
-        "interchangeable with the reference path at bench shapes "
-        "(matched solve quality at matched iteration budget)."
+        f"Verdict: {'PASS' if ok else 'FAIL'} — fused batched solves match "
+        "the reference path DISTRIBUTIONALLY at bench shapes (matched mean "
+        "solve quality at matched iteration budget; per-sample controls are "
+        "not interchangeable, see caveat above)."
     )
     with open("KERNEL_VALIDATION.md", "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + "\n")
     print("wrote KERNEL_VALIDATION.md —", "PASS" if ok else "FAIL")
     if not ok:
         raise SystemExit(1)

@@ -56,7 +56,12 @@ JOINT_NDOF = {
 #             (reference: mesh shapes through libccd, DARTCollide.hpp:42)
 #   heightmap: params [x0, z0, dx, dz]; `vertices` holds the (H,W) height
 #             grid (+y up in the shape frame; static terrain)
-SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace", "convex", "heightmap")
+#   cylinder: [r, h, 0, 0]           flat caps, axis = local z (reference
+#             narrow phase: DARTCollide.hpp:271-295 collideCylinder*)
+#   cone:     [r, h, 0, 0]           base (radius r) at z=-h/2, apex at
+#             z=+h/2 (DART ConeShape conventions)
+SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace", "convex", "heightmap",
+               "cylinder", "cone")
 
 
 @jax.tree_util.register_dataclass

@@ -55,10 +55,25 @@ def step_jacobians(model: Model, state: State, action: jax.Array) -> StepJacobia
 
 
 def backprop_state(
-    model: Model, state: State, action: jax.Array, grad_next_state: jax.Array
+    model: Model, state: State, action: jax.Array, grad_next_state: jax.Array,
+    explore_alternate_strategies: bool = False,
 ):
     """`BackpropSnapshot::backpropState`: pull a loss gradient wrt the NEXT
-    flat state back to (grad wrt current flat state, grad wrt action)."""
+    flat state back to (grad wrt current flat state, grad wrt action).
+
+    With `explore_alternate_strategies` (the reference's saddle-point-escape
+    heuristic, BackpropSnapshot.hpp:49 / ConstrainedGroupGradientMatrices
+    .cpp:1947-2037): in addition to the mathematically-correct gradient,
+    compute a second gradient under an OVERRIDDEN active-set
+    classification — frictional rows un-clamped, each normal/limit row
+    clamped iff the loss wants its separating velocity DEcreased
+    (lossWrtContactVels = Jᵀ... here J g_v' >= 0) — and return whichever
+    direction has the larger magnitude ‖g_v‖ + ‖g_τ‖/dt. The result is
+    "mathematically incorrect, but can provide a good search direction"
+    (the reference's own words): at a blocked contact (e.g. a resting ball
+    whose control gradient is annihilated by the clamping constraint) the
+    unclamped direction lets an optimizer escape the saddle. Fully
+    jittable (the strategy choice is a `jnp.where`)."""
 
     def f(x, a):
         s2 = step(model, State.from_flat(x), a)
@@ -66,4 +81,53 @@ def backprop_state(
 
     _, vjp = jax.vjp(f, state.flat(), action)
     gx, ga = vjp(grad_next_state)
-    return gx, ga
+    if not explore_alternate_strategies:
+        return gx, ga
+
+    from nimblephysics_tpu.ops.contact import contact_step, lcp_dim, lcp_findex
+    from nimblephysics_tpu.ops.frozen_contact import (
+        FrozenClasses,
+        frozen_contact_step,
+        gov_matrix,
+    )
+    import numpy as np
+
+    m = lcp_dim(model)
+    if m == 0:
+        return gx, ga
+
+    nq = model.nq
+    g_v_next = grad_next_state[nq:]
+    _, info = contact_step(
+        model, state, model.action_to_tau(action), return_info=True
+    )
+    # loss wrt the constraint-space velocities: J g_v'
+    loss_wrt_contact_vels = info.J @ g_v_next
+    fi = np.asarray(lcp_findex(model))
+    frictional = jnp.asarray(fi >= 0)
+    # normal/limit rows: "if we want to increase contact vels (pulling
+    # further apart), try not-clamping; else clamping"
+    cmask = jnp.where(
+        frictional, 0.0,
+        jnp.where(loss_wrt_contact_vels < 0, 0.0, 1.0),
+    ).astype(grad_next_state.dtype)
+    classes = FrozenClasses(cmask=cmask, us=jnp.zeros_like(cmask))
+    gov = jnp.asarray(gov_matrix(model), dtype=grad_next_state.dtype)
+
+    def f_alt(x, a):
+        s2 = frozen_contact_step(
+            model, State.from_flat(x), model.action_to_tau(a), classes, gov
+        )
+        return s2.flat()
+
+    _, vjp_alt = jax.vjp(f_alt, state.flat(), action)
+    gx2, ga2 = vjp_alt(grad_next_state)
+
+    def mag(gx_, ga_):
+        return jnp.linalg.norm(gx_[nq:]) + jnp.linalg.norm(ga_) / model.dt
+
+    better = mag(gx2, ga2) > mag(gx, ga)
+    return (
+        jnp.where(better, gx2, gx),
+        jnp.where(better, ga2, ga),
+    )

@@ -73,6 +73,10 @@ def _num_slots(kind_a: str, kind_b: str) -> int:
         ("box", "heightmap"): 8,
         ("capsule", "heightmap"): 2,
         ("convex", "heightmap"): 6,
+        ("cylinder", "halfspace"): 8,
+        ("sphere", "cylinder"): 1,
+        ("cone", "halfspace"): 5,
+        ("sphere", "cone"): 1,
     }
     return table.get(pair, 0)
 
@@ -199,6 +203,14 @@ def _narrow_phase(sa: ShapeSpec, sb: ShapeSpec, Ta: Transform, Tb: Transform):
         return _capsule_heightmap(pa, sb, Ta, Tb)
     if (kind_a, kind_b) == ("convex", "heightmap"):
         return _convex_heightmap(sa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("cylinder", "halfspace"):
+        return _cylinder_halfspace(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "cylinder"):
+        return _sphere_cylinder(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("cone", "halfspace"):
+        return _cone_halfspace(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "cone"):
+        return _sphere_cone(pa, pb, Ta, Tb)
     raise ValueError(f"unsupported pair {kind_a}/{kind_b}")
 
 
@@ -468,6 +480,136 @@ def _sphere_box(pa, pb, Ta, Tb):
     n_local = delta / dist
     depth = r - dist
     n = Tb.rotate(n_local)
+    point = Tb.apply(closest)
+    return [point], [n], [depth]
+
+
+def _plane_tangent_frame(n: jax.Array, ax: jax.Array):
+    """(ry, rz): in-plane frame for rim contacts of an axis-`ax` solid of
+    revolution against a plane with normal `n` — ry is the component of n
+    perpendicular to the axis (the reference's Ry in collideCylinderPlane,
+    DARTCollide.cpp:4959-4969), with a smooth fallback for axis ∥ n."""
+    dt = n.dtype
+    ry_raw = n - jnp.dot(n, ax) * ax
+    mag = jnp.sqrt(jnp.maximum(jnp.dot(ry_raw, ry_raw), 1e-18))
+    # fallback: any perpendicular to ax (pick the more orthogonal seed)
+    e1 = jnp.asarray([1.0, 0.0, 0.0], dt)
+    e2 = jnp.asarray([0.0, 1.0, 0.0], dt)
+    seed = jnp.where(jnp.abs(ax[0]) < 0.9, e1, e2)
+    alt = jnp.cross(ax, seed)
+    alt = alt / jnp.sqrt(jnp.maximum(jnp.dot(alt, alt), 1e-18))
+    ry = jnp.where(mag > 1e-6, ry_raw / mag, alt)
+    rz = jnp.cross(ax, ry)
+    return ry, rz
+
+
+def _cylinder_halfspace(pa, pb, Ta, Tb):
+    """Flat-capped cylinder vs plane (reference collideCylinderPlane,
+    DARTCollide.cpp:4946-5029: the deepest cap-rim corner, or an edge
+    midpoint on ties). TPU version: 8 static rim slots — 2 caps x 4 rim
+    directions {±ry, ±rz} — and let depth clipping keep the active subset:
+    one corner when tilted, a 2-point line lying on its side, a 4-point
+    ring standing on a cap (the reference's single edge-midpoint/center
+    contact carries the same resultant; the ring is additionally
+    tip-stable)."""
+    n, d = _halfspace_world(pb, Tb)
+    r, h = pa[0], pa[1]
+    dt = pa.dtype
+    ax = Ta.rotate(jnp.asarray([0.0, 0.0, 1.0], dt))
+    ry, rz = _plane_tangent_frame(n, ax)
+    pts, ns, ds = [], [], []
+    for s in (-1.0, 1.0):
+        cap = Ta.p + ax * (s * h / 2.0)
+        for dvec in (ry, -ry, rz, -rz):
+            p = cap + r * dvec
+            pts.append(p)
+            ns.append(n)
+            ds.append(d - jnp.dot(n, p))
+    return pts, ns, ds
+
+
+def _sphere_cylinder(pa, pb, Ta, Tb):
+    """Sphere (A) vs flat-capped cylinder (B): closest point on the solid
+    cylinder (reference collideCylinderSphere, DARTCollide.cpp:4863-4944 —
+    cap, rim and side cases; here unified as one branch-free closest-point
+    computation, with the center-inside case pushed out the nearer
+    surface)."""
+    r_s = pa[0]
+    r_c, h_c = pb[0], pb[1]
+    dt = pa.dtype
+    c = Tb.inverse().apply(Ta.p)
+    rad = jnp.sqrt(jnp.maximum(c[0] ** 2 + c[1] ** 2, 1e-18))
+    ez = jnp.asarray([0.0, 0.0, 1.0], dt)
+    dirxy = jnp.stack([c[0] / rad, c[1] / rad, jnp.zeros((), dt)])
+    inside = (rad < r_c) & (jnp.abs(c[2]) < h_c / 2.0)
+    closest_out = dirxy * jnp.minimum(rad, r_c) + ez * jnp.clip(
+        c[2], -h_c / 2.0, h_c / 2.0
+    )
+    closest_rad = dirxy * r_c + ez * c[2]
+    closest_axl = dirxy * rad + ez * (jnp.sign(c[2]) * h_c / 2.0)
+    closest_in = jnp.where(
+        (r_c - rad) < (h_c / 2.0 - jnp.abs(c[2])), closest_rad, closest_axl
+    )
+    closest = jnp.where(inside, closest_in, closest_out)
+    delta = c - closest
+    dist = jnp.sqrt(jnp.maximum(jnp.dot(delta, delta), 1e-18))
+    n_local = jnp.where(inside, -delta / dist, delta / dist)
+    depth = jnp.where(inside, r_s + dist, r_s - dist)
+    n = Tb.rotate(n_local)
+    point = Tb.apply(closest)
+    return [point], [n], [depth]
+
+
+def _cone_halfspace(pa, pb, Ta, Tb):
+    """Cone (base radius r at z=-h/2, apex at z=+h/2 — DART ConeShape) vs
+    plane: apex slot + 4 base-rim slots {±ry, ±rz}; clipping keeps the
+    active manifold (apex tip-down, one rim point tilted, a rim ring
+    base-down)."""
+    n, d = _halfspace_world(pb, Tb)
+    r, h = pa[0], pa[1]
+    dt = pa.dtype
+    ax = Ta.rotate(jnp.asarray([0.0, 0.0, 1.0], dt))
+    ry, rz = _plane_tangent_frame(n, ax)
+    apex = Ta.p + ax * (h / 2.0)
+    base = Ta.p - ax * (h / 2.0)
+    pts = [apex] + [base + r * dvec for dvec in (ry, -ry, rz, -rz)]
+    return pts, [n] * 5, [d - jnp.dot(n, p) for p in pts]
+
+
+def _sphere_cone(pa, pb, Ta, Tb):
+    """Sphere (A) vs cone (B): exact closest point on the solid of
+    revolution — 2-D point-to-triangle in (radial, axial) coordinates
+    (triangle: apex (0, h/2), rim (r, -h/2), base center (0, -h/2))."""
+    r_s = pa[0]
+    r_c, h_c = pb[0], pb[1]
+    dt = pa.dtype
+    c = Tb.inverse().apply(Ta.p)
+    rad = jnp.sqrt(jnp.maximum(c[0] ** 2 + c[1] ** 2, 1e-18))
+    dirxy = jnp.stack([c[0] / rad, c[1] / rad, jnp.zeros((), dt)])
+    p2 = jnp.stack([rad, c[2]])
+    apex2 = jnp.stack([jnp.zeros((), dt), h_c / 2.0])
+    rim2 = jnp.stack([r_c, -h_c / 2.0])
+    cen2 = jnp.stack([jnp.zeros((), dt), -h_c / 2.0])
+
+    def seg_closest(a, b):
+        ab = b - a
+        t = jnp.clip(
+            jnp.dot(p2 - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-18),
+            0.0, 1.0,
+        )
+        return a + t * ab
+
+    c_lat = seg_closest(apex2, rim2)   # lateral surface
+    c_base = seg_closest(rim2, cen2)   # base disc edge-to-center
+    d_lat = jnp.dot(p2 - c_lat, p2 - c_lat)
+    d_base = jnp.dot(p2 - c_base, p2 - c_base)
+    c2 = jnp.where(d_lat < d_base, c_lat, c_base)
+    ez = jnp.asarray([0.0, 0.0, 1.0], dt)
+    closest = dirxy * c2[0] + ez * c2[1]
+    delta = c - closest
+    dist = jnp.sqrt(jnp.maximum(jnp.dot(delta, delta), 1e-18))
+    n = Tb.rotate(delta / dist)
+    depth = r_s - dist
     point = Tb.apply(closest)
     return [point], [n], [depth]
 

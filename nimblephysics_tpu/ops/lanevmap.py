@@ -261,6 +261,34 @@ def _remap_consts(consts, literal_vals):
     return out
 
 
+def _bcast_in_dim(val, shape, bdims) -> jax.Array:
+    """`lax.broadcast_in_dim` that never produces a REPLICATED non-singleton
+    second-minor dimension.
+
+    Mosaic tracks layouts only for the last two (sublane, lane) dims; a
+    broadcast that inserts/expands the result's second-minor dim leaves it
+    sublane-REPLICATED ("32,{*,0},(8,128),-2"), and several consumers
+    (mul/relayout) then fail with "Invalid relayout: Non-singleton logical
+    dimension is replicated in destination but not in source" (the round-2
+    half-cheetah bench failure). Materialize exactly that dim by
+    concatenating real copies; all other dims broadcast natively (leading
+    dims are vreg-array replication — harmless; the lane dim is the batch
+    and always carried over)."""
+    shape = tuple(shape)
+    bdims = tuple(bdims)
+    rank = len(shape)
+    if rank < 2:
+        return jax.lax.broadcast_in_dim(val, shape, bdims)
+    sm = rank - 2
+    src_sizes = {od: val.shape[i] for i, od in enumerate(bdims)}
+    if shape[sm] == 1 or src_sizes.get(sm, 1) == shape[sm]:
+        # second-minor carried over from a real input dim (or singleton)
+        return jax.lax.broadcast_in_dim(val, shape, bdims)
+    pre = shape[:sm] + (1,) + shape[sm + 1:]
+    x = jax.lax.broadcast_in_dim(val, pre, bdims)
+    return jax.lax.concatenate([x] * shape[sm], sm)
+
+
 def _bcast(val: jax.Array, batched: bool, B: int) -> jax.Array:
     """Materialize an unbatched value to shape val.shape + (B,).
 
@@ -280,6 +308,66 @@ def _bcast(val: jax.Array, batched: bool, B: int) -> jax.Array:
     return jnp.broadcast_to(val[..., None], val.shape + (B,))
 
 
+def _lane_transpose(x: jax.Array, perm: Sequence[int]) -> jax.Array:
+    """Permutation of the LEADING dims of a lane-batched value (trailing
+    lane axis fixed), without emitting `tpu.transpose` on rank>=4 vectors.
+
+    Mosaic compiles standalone >=4-D lane-last transposes, but rejects them
+    when the producer's inferred layout carries an implicit dimension
+    ("Not implemented: Layout with implicit dimension" — the round-2 bench
+    failure on vector<3x5x9x128xf32>, perm (1,0,2,3)). The leading dims
+    here are tiny physics dims, so a non-trivial permutation is safely
+    unrolled: slice along the dim that must come first, recurse, stack via
+    concat — ops whose Mosaic lowering normalizes layout."""
+    perm = tuple(perm)
+    rank = x.ndim
+    assert perm[-1] == rank - 1, "lane axis must stay last"
+    if perm == tuple(range(rank)):
+        return x
+    if rank <= 3:
+        # (lead..., lane) with <=2 leading dims: native transpose — this is
+        # the form round-1/2 kernels already compile on real TPU.
+        return jax.lax.transpose(x, perm)
+    d = perm[0]  # source dim that becomes output dim 0
+    sub = [p - (p > d) for p in perm[1:]]
+    parts = []
+    for i in range(x.shape[d]):
+        sl = jax.lax.index_in_dim(x, i, axis=d, keepdims=False)
+        parts.append(jax.lax.expand_dims(_lane_transpose(sl, sub), (0,)))
+    return parts[0] if len(parts) == 1 else jax.lax.concatenate(parts, 0)
+
+
+def _dot_general_unrolled(lhs, rhs, lc, rc, B: int):
+    """Transpose-free dot_general (no batch dims): unroll the (tiny)
+    contraction index set; each term is slice + broadcast_in_dim with
+    strictly increasing dims + multiply — all layout-safe in Mosaic.
+    Same FLOPs as the materialize-and-reduce path, lower peak VMEM (no
+    (lf..., rf..., c..., B) intermediate)."""
+    import itertools
+
+    lfree = [d for d in range(lhs.ndim - 1) if d not in lc]
+    rfree = [d for d in range(rhs.ndim - 1) if d not in rc]
+    lfs = tuple(lhs.shape[d] for d in lfree)
+    rfs = tuple(rhs.shape[d] for d in rfree)
+    nlf, nrf = len(lfs), len(rfs)
+    full = lfs + rfs + (B,)
+    rank = len(full)
+    l_dims = tuple(range(nlf)) + (rank - 1,)
+    r_dims = tuple(range(nlf, nlf + nrf)) + (rank - 1,)
+    csizes = [lhs.shape[d] for d in lc]
+    out = None
+    for idx in itertools.product(*[range(s) for s in csizes]):
+        ls, rs = lhs, rhs
+        for d, i in sorted(zip(lc, idx), reverse=True):
+            ls = jax.lax.index_in_dim(ls, i, axis=d, keepdims=False)
+        for d, i in sorted(zip(rc, idx), reverse=True):
+            rs = jax.lax.index_in_dim(rs, i, axis=d, keepdims=False)
+        term = _bcast_in_dim(ls, full, l_dims) * \
+            _bcast_in_dim(rs, full, r_dims)
+        out = term if out is None else out + term
+    return out
+
+
 def _dot_general_lanes(lhs, rhs, dimension_numbers, B: int):
     """dot_general with both operands batched on a trailing lane axis,
     lowered to broadcast-multiply + reduce_sum (VPU-only; the contracted
@@ -294,8 +382,15 @@ def _dot_general_lanes(lhs, rhs, dimension_numbers, B: int):
     # reduce the contract block.
     l_perm = list(lb) + lfree + list(lc) + [lhs_rank]
     r_perm = list(rb) + rfree + list(rc) + [rhs_rank]
-    lt = jax.lax.transpose(lhs, l_perm)
-    rt = jax.lax.transpose(rhs, r_perm)
+    id_l = l_perm == list(range(lhs.ndim))
+    id_r = r_perm == list(range(rhs.ndim))
+    if not (id_l and id_r) and not lb:
+        # Non-canonical operand order would need a mid-kernel transpose,
+        # which Mosaic rejects for >=4-D vectors with implicit-dim layouts
+        # (the round-2 bench failure). Unroll the contraction instead.
+        return _dot_general_unrolled(lhs, rhs, lc, rc, B)
+    lt = _lane_transpose(lhs, l_perm)
+    rt = _lane_transpose(rhs, r_perm)
     nb, nlf, nrf, nc = len(lb), len(lfree), len(rfree), len(lc)
     # broadcast both to the full (b..., lf..., rf..., c..., B) shape with
     # explicit broadcast_in_dim — singleton-inserting reshapes are
@@ -308,8 +403,8 @@ def _dot_general_lanes(lhs, rhs, dimension_numbers, B: int):
     rank = len(full)
     l_dims = tuple(range(nb + nlf)) + tuple(range(nb + nlf + nrf, rank))
     r_dims = tuple(range(nb)) + tuple(range(nb + nlf, rank))
-    lt = jax.lax.broadcast_in_dim(lt, full, l_dims)
-    rt = jax.lax.broadcast_in_dim(rt, full, r_dims)
+    lt = _bcast_in_dim(lt, full, l_dims)
+    rt = _bcast_in_dim(rt, full, r_dims)
     prod = lt * rt  # (b..., lf..., rf..., c..., B)
     axes = tuple(range(nb + nlf + nrf, nb + nlf + nrf + nc))
     return jnp.sum(prod, axis=axes) if axes else prod
@@ -437,7 +532,10 @@ def lane_eval(
             for (v, b), us in zip(ins, ushapes):
                 if us != tgt:
                     if b:
-                        v = jnp.broadcast_to(v, tgt + v.shape[-1:])
+                        osh = tgt + v.shape[-1:]
+                        v = _bcast_in_dim(
+                            v, osh, tuple(range(len(osh) - v.ndim, len(osh)))
+                        )
                     elif not isinstance(v, jcore.Tracer) and np.ndim(v) == 0:
                         a = np.asarray(v)
                         vb.append(jax.lax.full(tgt + (B,), a.item(), a.dtype))
@@ -453,7 +551,7 @@ def lane_eval(
         elif prim == "broadcast_in_dim":
             shape = tuple(eqn.params["shape"])
             bdims = tuple(eqn.params["broadcast_dimensions"])
-            out = jax.lax.broadcast_in_dim(
+            out = _bcast_in_dim(
                 vals[0], shape + (B,), bdims + (len(shape),)
             )
             write(eqn.outvars[0], out, True)
@@ -465,7 +563,7 @@ def lane_eval(
 
         elif prim == "transpose":
             perm = tuple(eqn.params["permutation"])
-            out = jax.lax.transpose(vals[0], perm + (len(perm),))
+            out = _lane_transpose(vals[0], perm + (len(perm),))
             write(eqn.outvars[0], out, True)
 
         elif prim == "squeeze":

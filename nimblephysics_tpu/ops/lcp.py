@@ -317,6 +317,10 @@ def staged_solve(A, b, lo, hi, fscale, x0, findex, iters=60, tol=1e-8):
 
     x2 = jax.lax.cond(r1 > tol, deep, lambda x: x, x1)
     r2 = lcp_residual(A, x2, b, lo, hi, fscale, findex)
+    # keep the better of stages 1/2 (a deeper PGS continuation can, rarely,
+    # regress on cycling problems)
+    x2 = jnp.where(r2 < r1, x2, x1)
+    r2 = jnp.minimum(r2, r1)
 
     gather = jnp.asarray([max(f, 0) for f in findex], dtype=jnp.int32)
     coupled = jnp.asarray([f >= 0 for f in findex])
@@ -385,15 +389,25 @@ def _boxed_lcp_jvp(findex, iters, method, primals, tangents):
     rhs = cmask * (db - dA @ x)
     # Solve Qf dx_C = rhs robustly (reference uses a complete orthogonal
     # decomposition = pseudoinverse for degenerate Q, BackpropSnapshot.cpp:
-    # 2755) via regularized normal equations. The regularization must be
-    # scaled to the dtype AND to Q's magnitude: a fixed 1e-12 underflows in
-    # f32 and the normal equations square the conditioning.
-    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-5, dtype)
-    qscale = jnp.maximum(jnp.max(jnp.abs(Qf)), 1.0)
-    QtQ = Qf.T @ Qf + (eps * qscale * qscale) * jnp.eye(m, dtype=dtype)
-    if m <= 24:  # SPD by construction; see direct_boxed_solve note
+    # 2755).
+    if m <= 24:
+        # MPC-relevant sizes: regularized normal equations + unrolled SPD
+        # solve (kernel-friendly, no pivoting). The regularization must be
+        # scaled to the dtype AND to Q's magnitude: a fixed 1e-12
+        # underflows in f32 and the normal equations square the
+        # conditioning.
+        eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-5, dtype)
+        qscale = jnp.maximum(jnp.max(jnp.abs(Qf)), 1.0)
+        QtQ = Qf.T @ Qf + (eps * qscale * qscale) * jnp.eye(m, dtype=dtype)
         dx_C = linalg_small.solve_spd(QtQ, Qf.T @ rhs)
     else:
-        dx_C = jnp.linalg.solve(QtQ, Qf.T @ rhs)
+        # Large degenerate systems (many coplanar contacts, cond(A) ~ 1e5+
+        # on real steps): normal equations square the conditioning and cap
+        # tangent agreement with the reference kernel at ~1e-3; a true
+        # pseudoinverse matches the reference's COD to ~1e-9 (measured,
+        # tests/test_parity_lcp_grad.py). pinv(Qf) depends only on the
+        # PRIMAL Qf, so dx stays linear in the tangents and the rule
+        # transposes for reverse mode.
+        dx_C = jnp.linalg.pinv(Qf, rtol=1e-10) @ rhs
     dx = R @ (cmask * dx_C)
     return x, dx

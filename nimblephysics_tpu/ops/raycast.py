@@ -98,7 +98,9 @@ def raycast(
             t = _ray_sphere(o, d, p[0])
         elif shape.kind == "box":
             t = _ray_box(o, d, p[:3] / 2.0)
-        elif shape.kind == "capsule":
+        elif shape.kind in ("capsule", "cylinder"):
+            # cylinder raycast approximated by its bounding capsule (cap
+            # geometry differs only at the flat ends)
             t = _ray_capsule(o, d, p[0], p[1])
         elif shape.kind == "halfspace":
             t = _ray_halfspace(origin, d_w, p[:3], p[3])

@@ -102,6 +102,16 @@ def capsule_inertia(mass: jax.Array, radius: jax.Array, height: jax.Array) -> ja
     return _diag3(ixx, ixx, izz)
 
 
+def cone_inertia(mass: jax.Array, radius: jax.Array, height: jax.Array) -> jax.Array:
+    """Solid cone, base radius r, height h along z
+    (DART ConeShape::computeInertia, dart/dynamics/ConeShape.cpp:106-117)."""
+    r2 = radius**2
+    h2 = height**2
+    ixx = (3.0 / 20.0) * mass * (r2 + (2.0 / 3.0) * h2)
+    izz = (3.0 / 10.0) * mass * r2
+    return _diag3(ixx, ixx, izz)
+
+
 def _diag3(a, b, c) -> jax.Array:
     a, b, c = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
     zero = jnp.zeros_like(a)

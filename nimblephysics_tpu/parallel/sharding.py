@@ -52,6 +52,10 @@ def sharded_mpc_solves(
     iters: int = 8,
     axis: str = "dp",
     with_classes: bool = False,
+    fused: bool = False,
+    contact: bool = False,
+    block_b: int = 1024,
+    config: Optional[ILQRConfig] = None,
 ):
     """Return a jitted fn: (x0_flat (B, 2nq), u_warm (B, H, na)) ->
     (u (B,H,na), mean_cost ()) with B sharded over `axis`.
@@ -63,14 +67,52 @@ def sharded_mpc_solves(
     with leading (B, H) axes (from `ops/frozen_contact.rollout_classes`
     vmapped over worlds), sharded over `axis` alongside the states — the
     contact-model MPC fast path on the mesh.
+
+    `fused=True` runs the PRODUCTION composition for the scale-out config
+    (SURVEY §6 config 5): each shard executes `ilqr_solve_batch` — the
+    fused Pallas linearize/Riccati/rollout pipeline bench.py times — on
+    its local worlds, instead of `vmap(ilqr_solve)`'s scan-based XLA path.
+    With `contact=True` each shard runs the full contact-MPC replan
+    (`solve_contact_mpc_batch`: one full-LCP mode-sequence rollout + the
+    fused frozen-mode iLQR; reference: MPCLocal::optimizePlan fan-out,
+    dart/realtime/MPCLocal.cpp:255-300 + MultiShot.cpp:183-202).
     """
+    cfg = config if config is not None else ILQRConfig(iters=iters)
 
     def solve_one(x0_flat, u_warm, classes=None):
         sol = ilqr_solve(
             model, State.from_flat(x0_flat), u_warm, running_cost, final_cost,
-            ILQRConfig(iters=iters), classes=classes,
+            cfg, classes=classes,
         )
         return sol.u, sol.cost
+
+    if fused:
+        from nimblephysics_tpu.trajectory.ilqr import (
+            ilqr_solve_batch,
+            solve_contact_mpc_batch,
+        )
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P()),
+        )
+        def solve_shard(x0s, u_warms):
+            if contact:
+                sol, _ = solve_contact_mpc_batch(
+                    model, x0s, u_warms, running_cost, final_cost, cfg,
+                    outer_iters=1, block_b=block_b,
+                )
+            else:
+                sol = ilqr_solve_batch(
+                    model, x0s, u_warms, running_cost, final_cost, cfg,
+                    block_b=block_b,
+                )
+            total = jax.lax.psum(jnp.sum(sol.cost), axis)
+            return sol.u, total / x0s.shape[0] / jax.lax.psum(1, axis)
+
+        return jax.jit(solve_shard)
 
     if with_classes:
         @partial(

@@ -207,9 +207,15 @@ class AsyncMPC:
             if dur > 0:
                 self._replan_durations.append(dur)
             # MPCLocal sleeps only if the solve beat the plan horizon; we
-            # optionally rate-limit to min_period for tests/CPU
-            if self._min_period > dur:
-                self._stop.wait(self._min_period - dur)
+            # optionally rate-limit to min_period for tests/CPU. Always
+            # yield at least briefly — replan_at returns 0.0 before the
+            # first observation arrives, and a no-op wait would busy-spin
+            # this thread at 100% CPU.
+            wait = self._min_period - dur
+            if dur <= 0.0:
+                wait = max(wait, 1e-3)
+            if wait > 0:
+                self._stop.wait(wait)
 
     def start(self) -> None:
         import threading

@@ -216,7 +216,7 @@ class GUIStateMachine:
                     self.create_box(key, params[:3], pw, euler)
                 elif shape.kind == "sphere":
                     self.create_sphere(key, params[0], pw)
-                elif shape.kind == "capsule":
+                elif shape.kind in ("capsule", "cylinder", "cone"):
                     self.create_capsule(key, params[0], params[1], pw, euler)
                 elif shape.kind == "halfspace":
                     n = params[:3]

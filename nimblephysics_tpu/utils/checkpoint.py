@@ -69,6 +69,17 @@ def load_checkpoint(path: str, like: Any = None):
             f"checkpoint has {len(leaves)} leaves, target structure has "
             f"{len(like_leaves)} — saved paths: {manifest['paths'][:8]}..."
         )
+    like_paths, _, _ = _flatten_with_paths(like)
+    if like_paths != manifest["paths"]:
+        bad = [
+            (s, t) for s, t in zip(manifest["paths"], like_paths) if s != t
+        ]
+        raise ValueError(
+            "checkpoint pytree paths do not match the target structure "
+            f"(same leaf count, different fields) — first mismatches: "
+            f"{bad[:4]}. Pass a `like` tree with the structure the "
+            "checkpoint was saved from."
+        )
     restored = [
         jnp.asarray(a, dtype=jnp.asarray(l).dtype)
         for a, l in zip(leaves, like_leaves)

@@ -59,7 +59,7 @@ def _geometry(geom):
         return "sphere", np.asarray([float(sph.find("radius").text), 0, 0, 0])
     cyl = geom.find("cylinder")
     if cyl is not None:
-        return "capsule", np.asarray([
+        return "cylinder", np.asarray([
             float(cyl.find("radius").text), float(cyl.find("length").text), 0, 0,
         ])
     return None

@@ -79,10 +79,12 @@ def _shape_geometry(geom: ET.Element):
         if tag == "sphere":
             r = float(child.find("radius").text)
             return "sphere", np.asarray([r, 0.0, 0.0, 0.0])
-        if tag in ("capsule", "cylinder"):
+        if tag in ("capsule", "cylinder", "cone"):
             r = float(child.find("radius").text)
             h = float(child.find("height").text)
-            return "capsule", np.asarray([r, h, 0.0, 0.0])
+            # true flat-cap cylinder / cone narrow phases (reference:
+            # DARTCollide.hpp:271-295), no longer aliased to capsule
+            return tag, np.asarray([r, h, 0.0, 0.0])
         if tag == "ellipsoid":
             size = _vec(child.find("size").text)
             return "ellipsoid", np.asarray([size[0], size[1], size[2], 0.0])
@@ -101,6 +103,14 @@ def _shape_moment(kind: str, params: np.ndarray, mass: float) -> np.ndarray:
         )
     if kind == "ellipsoid":
         return np.asarray(spatial.ellipsoid_inertia(m, jnp.asarray(params[:3])))
+    if kind == "cylinder":
+        return np.asarray(
+            spatial.cylinder_inertia(m, jnp.asarray(params[0]), jnp.asarray(params[1]))
+        )
+    if kind == "cone":
+        return np.asarray(
+            spatial.cone_inertia(m, jnp.asarray(params[0]), jnp.asarray(params[1]))
+        )
     return np.eye(3)
 
 

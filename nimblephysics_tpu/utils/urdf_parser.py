@@ -94,7 +94,7 @@ def _geometry(geom: Optional[ET.Element], base_dir: str = ""):
         if child.tag in ("cylinder", "capsule"):
             r = float(child.get("radius"))
             h = float(child.get("length", child.get("height", "0")))
-            return "capsule", np.asarray([r, h, 0.0, 0.0]), None, None
+            return child.tag, np.asarray([r, h, 0.0, 0.0]), None, None
         if child.tag == "mesh":
             path = _resolve_mesh_path(child.get("filename", ""), base_dir)
             if path is None:

@@ -123,3 +123,58 @@ def test_sharded_contact_mpc_equals_vmap():
         float(mean_cost_shard), float(np.mean(np.asarray(costs_ref))),
         rtol=1e-9,
     )
+
+
+@needs_mesh
+def test_sharded_fused_contact_mpc_equals_unsharded_batch():
+    """Config-5-shaped program: the FUSED batched pipeline
+    (`solve_contact_mpc_batch` — full-LCP mode rollout + Pallas-fused
+    frozen iLQR, exactly what bench.py times) running per-shard under
+    shard_map must equal the same pipeline run unsharded on the full
+    batch, elementwise (reference composition: MPCLocal::optimizePlan
+    inside the MultiShot std::async fan-out)."""
+    from nimblephysics_tpu.trajectory.ilqr import solve_contact_mpc_batch
+
+    model = builders.jump_worm(dt=0.001)
+    nq, na = model.nq, model.num_actions
+    H, B, iters = 10, 16, 2
+
+    s = State(q=jnp.zeros(nq).at[1].set(-0.45), v=jnp.zeros(nq))
+    for _ in range(300):
+        s = contact_step(model, s, jnp.zeros(nq))
+    rng = np.random.default_rng(11)
+    dq = jnp.asarray(rng.normal(0, 1e-3, (B, nq)))
+    x0 = jnp.concatenate([s.q[None] + dq, jnp.tile(s.v[None], (B, 1))], axis=-1)
+    u_warm = jnp.asarray(rng.normal(0, 1e-3, (B, H, na)))
+
+    d_act = model.actuated[0]
+    q_target = s.q.at[d_act].add(0.2)
+
+    def running(x, u, t):
+        return 1e-6 * jnp.sum(u**2) + jnp.sum((x[:nq] - q_target) ** 2)
+
+    def final(x):
+        return 10.0 * jnp.sum((x[:nq] - q_target) ** 2)
+
+    cfg = ILQRConfig(iters=iters, alphas=(1.0, 0.3, 0.1), unroll=1)
+    mesh = make_mesh((("dp", 8),), jax.devices()[:8])
+    solve = sharded_mpc_solves(
+        model, mesh, running, final, horizon=H, axis="dp",
+        fused=True, contact=True, block_b=256, config=cfg,
+    )
+    us_shard, mean_cost_shard = solve(x0, u_warm)
+
+    sol_ref, _ = jax.jit(
+        lambda a, b: solve_contact_mpc_batch(
+            model, a, b, running, final, cfg, outer_iters=1, block_b=256
+        )
+    )(x0, u_warm)
+
+    assert np.isfinite(np.asarray(sol_ref.u)).all()
+    np.testing.assert_allclose(
+        np.asarray(us_shard), np.asarray(sol_ref.u), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(mean_cost_shard), float(np.mean(np.asarray(sol_ref.cost))),
+        rtol=1e-9,
+    )
