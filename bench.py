@@ -41,6 +41,86 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+# v5e peak assumptions for the utilization columns (PUBLIC numbers; the
+# lane kernels are f32 VPU work, so the VPU row is the meaningful one):
+#   bf16 MXU peak 197 TFLOP/s  ->  f32 MXU ~ 98.5 TFLOP/s (half rate)
+#   VPU ~ 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~ 3.85 TFLOP/s f32
+#   HBM 819 GB/s
+_V5E_VPU_F32 = 3.85e12
+_V5E_MXU_F32 = 98.5e12
+_V5E_HBM_BPS = 819e9
+
+
+def _flops_per_solve(model, running, final, H, iters, n_alpha, classes_m=0):
+    """Analytic flop ESTIMATE for one warm replan of one world: the three
+    fused kernels' lane traces (each emitted op ~ 1 flop per output element
+    per lane; `ops/lanevmap.lane_flops`) times their lane counts, plus a
+    (nx+na)^3-order term for the hand-written Riccati kernel. Labeled an
+    estimate in the output — XLA cost analysis cannot see inside
+    pallas_call custom-calls, so this is the honest accounting available."""
+    from nimblephysics_tpu.ops.lanevmap import LaneFn, lane_flops
+    from nimblephysics_tpu.ops.pallas_linearize import (
+        dyn_for_trace,
+        dyn_frozen_for_trace,
+    )
+
+    nx, na = 2 * model.nq, model.num_actions
+    dt = jnp.float32
+    z = lambda n: jnp.zeros(n, dt)  # noqa: E731
+    sc = jnp.zeros((), dt)
+    idx = jnp.asarray(model.actuated, dtype=jnp.int32)
+    u_lo = jnp.asarray(model.tau_lower)[idx]
+    u_hi = jnp.asarray(model.tau_upper)[idx]
+    if classes_m:
+        dynf = dyn_frozen_for_trace(model)
+
+        def jvp_fn(x, uu, cm, usv, dx, du):
+            _, t = jax.jvp(
+                lambda a, b: dynf(a, b, cm, usv), (x, uu), (dx, du)
+            )
+            return t
+
+        lf_lin = LaneFn(
+            jvp_fn, (z(nx), z(na), z(classes_m), z(classes_m), z(nx), z(na))
+        )
+
+        def step_fn(x, xref, uref, Ktf, kt, cm, usv, alpha, t):
+            du = alpha * kt + Ktf.reshape(na, nx) @ (x - xref)
+            u = jnp.clip(uref + du, u_lo, u_hi)
+            return dynf(x, u, cm, usv), u, running(x, u, t)
+
+        lf_roll = LaneFn(
+            step_fn,
+            (z(nx), z(nx), z(na), z(na * nx), z(na), z(classes_m),
+             z(classes_m), sc, sc),
+        )
+    else:
+        dyn = dyn_for_trace(model)
+
+        def jvp_fn(x, uu, dx, du):
+            _, t = jax.jvp(dyn, (x, uu), (dx, du))
+            return t
+
+        lf_lin = LaneFn(jvp_fn, (z(nx), z(na), z(nx), z(na)))
+
+        def step_fn(x, xref, uref, Ktf, kt, alpha, t):
+            du = alpha * kt + Ktf.reshape(na, nx) @ (x - xref)
+            u = jnp.clip(uref + du, u_lo, u_hi)
+            return dyn(x, u), u, running(x, u, t)
+
+        lf_roll = LaneFn(
+            step_fn, (z(nx), z(nx), z(na), z(na * nx), z(na), sc, sc)
+        )
+    f_lin = lane_flops(lf_lin.closed)
+    f_roll = lane_flops(lf_roll.closed)
+    K = nx + na
+    f_ric = 2 * (nx + na) ** 3 + 4 * nx * nx * (nx + na)
+    per_iter = f_lin * H * K + f_roll * H * n_alpha + f_ric * H
+    # + the initial rollout and the mode-sequence rollout (contact)
+    extra = f_roll * H * (2 if classes_m else 1)
+    return float(per_iter * iters + extra)
+
+
 def _time_solves(solve, args, B, reps=5):
     out = solve(*args)
     cost = out[1]
@@ -78,7 +158,9 @@ def bench_cartpole(H, B, cfg):
     key = jax.random.PRNGKey(0)
     x0 = jax.random.uniform(key, (B, 2 * nq), minval=-0.3, maxval=0.3)
     u0 = jnp.zeros((B, H, na))
-    return _time_solves(solve, (x0, u0), B)
+    rate = _time_solves(solve, (x0, u0), B)
+    return rate, _flops_per_solve(model, running, final, H, cfg.iters,
+                                  len(cfg.alphas))
 
 
 def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
@@ -94,11 +176,22 @@ def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
         )
         return sol.u, sol.cost
 
-    solve = jax.jit(solve_all)
+    # XLA:TPU's scoped-vmem pass insists on placing the rollout kernel's
+    # (T, E, B) candidate-trajectory output in VMEM inside the iLQR scan
+    # body (26 MB > the 16 MB default cap -> compile-time OOM); raise the
+    # cap for the contact solves (v5e has 128 MB physical VMEM)
+    solve = jax.jit(
+        solve_all,
+        compiler_options={"xla_tpu_scoped_vmem_limit_kib": 65536},
+    )
     key = jax.random.PRNGKey(1)
     x0 = s0_flat_fn(B, key)
     u0 = jnp.zeros((B, H, na))
-    return _time_solves(solve, (x0, u0), B)
+    rate = _time_solves(solve, (x0, u0), B)
+    from nimblephysics_tpu.ops.contact import lcp_dim
+
+    return rate, _flops_per_solve(model, running, final, H, cfg.iters,
+                                  len(cfg.alphas), classes_m=lcp_dim(model))
 
 
 def bench_half_cheetah(H, B, cfg):
@@ -164,8 +257,16 @@ def main() -> None:
     only = os.environ.get("BENCH_ONLY", "")
 
     cfg = ILQRConfig(iters=ITERS, alphas=ALPHAS)
+    # Contact configs run the HYBRID lane: XLA jacfwd linearization + the
+    # fused Pallas rollout/Riccati kernels. The frozen-step JVP lane
+    # kernel itself still exceeds the Mosaic compile helper's envelope at
+    # these LCP sizes (the union of the tangent-solve cone with the mass-
+    # matrix cone crashes the helper outright — bisected round 3); the
+    # PRIMAL frozen kernel compiles and carries the line-search rollouts.
     cfg_contact = ILQRConfig(iters=max(2, ITERS // 2), alphas=ALPHAS[:4],
-                             unroll=1)
+                             unroll=1,
+                             linearize=os.environ.get("BENCH_LINEARIZE",
+                                                      "xla"))
 
     # Fail-soft: each config is timed independently; one config crashing
     # must not zero out the round's evidence (round-2 lesson). Errors are
@@ -179,12 +280,21 @@ def main() -> None:
          lambda: bench_jump_worm(H, B_CONTACT, cfg_contact)),
     ]
     configs = {}
+    utilization = {}
     errors = {}
     for name, key, fn in runs:
         if only and only != key:
             continue
         try:
-            configs[name] = round(fn(), 2)
+            rate, flops = fn()
+            configs[name] = round(rate, 2)
+            achieved = rate * flops
+            utilization[name] = {
+                "flops_per_solve_est": flops,
+                "achieved_gflops_est": round(achieved / 1e9, 1),
+                "vpu_frac_est": round(achieved / _V5E_VPU_F32, 4),
+                "mxu_f32_frac_est": round(achieved / _V5E_MXU_F32, 5),
+            }
         except Exception as e:  # noqa: BLE001 — report, don't die
             import traceback
 
@@ -201,6 +311,10 @@ def main() -> None:
         "unit": "solves/s",
         "vs_baseline": round(value / target, 3),
         "configs": configs,
+        # analytic estimates (lanevmap.lane_flops; pallas custom-calls are
+        # invisible to XLA cost analysis); peaks assumed: VPU 3.85 TF/s
+        # f32, MXU 98.5 TF/s f32 (v5e)
+        "utilization": utilization,
     }
     if errors:
         out["errors"] = errors

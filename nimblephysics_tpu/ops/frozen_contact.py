@@ -94,12 +94,53 @@ def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array) -> jax.Array:
     rhs = cmask * b
     eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-5, dtype)
     qscale = jnp.maximum(jnp.max(jnp.abs(Qf), axis=(-2, -1), keepdims=True), 1.0)
-    QtQ = jnp.swapaxes(Qf, -1, -2) @ Qf + (eps * qscale * qscale) * eye
-    Qtr = (jnp.swapaxes(Qf, -1, -2) @ rhs[..., None])[..., 0]
-    # always the unrolled pivot-free SPD solve: jnp.linalg.solve lowers to
-    # `lu` — serial pivoting on TPU and unsupported in the lane kernels
-    x_C = linalg_small.solve_spd(QtQ, Qtr)
-    return (R @ (cmask * x_C)[..., None])[..., 0]
+    reg = (eps * qscale * qscale)[..., 0]
+    QfT = jnp.swapaxes(Qf, -1, -2)
+
+    # Regularized normal equations solved by CGNR under
+    # `lax.custom_linear_solve`: x minimizes |Qf x − rhs|² + reg |x|²,
+    # i.e. (QfᵀQf + reg I) x = Qfᵀ rhs — the same system the reference's
+    # complete-orthogonal-decomposition solve answers for degenerate Q
+    # (BackpropSnapshot.cpp:2755). Three load-bearing choices for the
+    # fused TPU lane kernels (round-3 Mosaic bisects):
+    #   * CG, not direct Gauss-Jordan — the m=27 GJ op mix crashed the
+    #     Mosaic compile helper; CG's matvec-only graph compiles;
+    #   * matvecs as einsum — a bare dot_general with NO expand/squeeze
+    #     pair around it (squeeze-of-middle-singleton feeding the
+    #     unrolled lane dot was another crash);
+    #   * custom_linear_solve — the JVP becomes ONE tangent CG solve
+    #     (implicit differentiation: M dx = d(Qfᵀrhs) − dM·x) instead of
+    #     AD interleaving tangents through every CG iteration; the graph
+    #     stays two separate CG chains, which compiles, and the implicit
+    #     tangent is exact at convergence (and transposes for reverse
+    #     mode, unlike a hand-rolled nonlinear-in-rhs rule).
+    def mv(M, v):
+        return jnp.einsum("...ij,...j->...i", M, v)
+
+    def matvec(p):
+        return mv(QfT, mv(Qf, p)) + reg * p
+
+    def cg_solve(mv_fn, bb):
+        x = jnp.zeros_like(bb)
+        r = bb
+        p = r
+        rs = jnp.sum(r * r, axis=-1)
+        tiny = jnp.asarray(1e-30, dtype)
+        for _ in range(m + 6):   # CG is exact in <= m steps on SPD
+            Ap = mv_fn(p)
+            alpha = rs / (jnp.sum(p * Ap, axis=-1) + tiny)
+            x = x + alpha[..., None] * p
+            r = r - alpha[..., None] * Ap
+            rs_new = jnp.sum(r * r, axis=-1)
+            p = r + (rs_new / (rs + tiny))[..., None] * p
+            rs = rs_new
+        return x
+
+    bvec = mv(QfT, rhs)
+    x_C = jax.lax.custom_linear_solve(
+        matvec, bvec, cg_solve, symmetric=True
+    )
+    return mv(R, cmask * x_C)
 
 
 def frozen_contact_step(

@@ -1,30 +1,41 @@
 """Batch-last jaxpr evaluation for Pallas TPU kernels ("lane vmap").
 
-TPU vector registers are (8 sublanes, 128 lanes); XLA lays out the LAST
-axis on lanes. A batch of small physics states shaped (B, 4) therefore
-uses 4 of 128 lanes — the measured reason the iLQR linearization sweep ran
-~30x off speed-of-light. `jax.vmap` can't fix this inside a Pallas kernel:
-its batching rules move the batch dim wherever convenient (often axis 0),
-producing batched matmuls Mosaic refuses ("batch dims must be equal").
+TPU vector registers are (8 sublanes, 128 lanes). A batch of small physics
+states shaped (B, 4) laid out batch-first uses 4 of 128 lanes — the
+measured reason the iLQR linearization sweep ran ~30x off speed-of-light.
+`jax.vmap` can't fix this inside a Pallas kernel: its batching rules move
+the batch dim wherever convenient (often axis 0), producing batched
+matmuls Mosaic refuses ("batch dims must be equal").
 
 `lane_eval` instead interprets the UNBATCHED jaxpr of a function (traced
 once at per-world shapes, e.g. the 565-op cartpole step) with every value
-carrying the world batch as a TRAILING lane axis. Each primitive is
-re-emitted with the batch dim pinned last:
+carrying the world batch as TRAILING axes. Each primitive is re-emitted
+with the batch dims pinned last:
 
   * elementwise ops bind unchanged (operands share the same batched shape),
   * shape ops (broadcast/reshape/transpose/slice/concat/...) get their
-    dim parameters remapped around the trailing axis,
-  * `dot_general` on tiny physics matrices is lowered to broadcast-multiply
-    + `reduce_sum` — pure VPU lane ops; there is nothing for the MXU in a
-    6x6 spatial-algebra product, the parallelism is all in the batch.
+    dim parameters remapped around the trailing axes,
+  * `dot_general` on tiny physics matrices is lowered to an UNROLLED
+    slice-multiply-accumulate over the contraction index set — pure VPU
+    work; there is nothing for the MXU in a 6x6 spatial-algebra product,
+    the parallelism is all in the batch.
 
-The result is a Mosaic-compilable graph whose every op is (small..., B)
-with B on lanes — the layout the hardware wants. Used by
-`ops/pallas_linearize.py` to fuse the whole dynamics-Jacobian sweep into
-one kernel (reference analogue: the per-step Jacobians the gradient engine
-assembles in `dart/neural/BackpropSnapshot.cpp:980`, there computed by
-hand per joint type; here any traced step function works).
+The batch tail is a TUPLE of axes, normally (block//128, 128): the batch
+occupies BOTH the sublane and the lane dimension of every vector register,
+so the tiny physics dims only ever live in leading vreg-array positions
+and every value carries the natural (8,128)-tiled layout. This is the
+load-bearing design decision: with a single trailing lane axis, small
+dims land on sublanes and Mosaic's layout inference produces
+implicit/replicated layouts that downstream ops cannot relayout
+("Invalid relayout: Non-singleton logical dimension is replicated...",
+"Not implemented: Layout with implicit dimension" — the round-2/3
+half-cheetah failures, bisected to a second-minor reduce in a (3,3)@(3,)
+matvec and to 4-D leading-dim transposes).
+
+Used by `ops/pallas_linearize.py` / `ops/pallas_rollout.py` (reference
+analogue: the per-step Jacobians the gradient engine assembles in
+`dart/neural/BackpropSnapshot.cpp:980`, there computed by hand per joint
+type; here any traced step function works).
 
 Restrictions: the jaxpr must be control-flow free (scan/while/cond) and
 gather/scatter free — true for the framework's trace-unrolled dynamics
@@ -33,7 +44,8 @@ gather/scatter free — true for the framework's trace-unrolled dynamics
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+import itertools
+from typing import Any, Dict, List, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -66,6 +78,13 @@ _DTYPE_OPS = {"convert_element_type", "bitcast_convert_type", "reduce_precision"
 
 _REDUCE_OPS = {"reduce_sum", "reduce_max", "reduce_min", "reduce_prod",
                "reduce_and", "reduce_or", "argmax", "argmin"}
+
+BShape = Union[int, Tuple[int, ...]]
+
+
+def _bt(B: BShape) -> Tuple[int, ...]:
+    """Normalize the batch tail: int -> one trailing axis, tuple as-is."""
+    return (B,) if isinstance(B, int) else tuple(B)
 
 
 def _lit_key(val: np.ndarray) -> Tuple:
@@ -172,10 +191,34 @@ def count_eqns(jaxpr) -> int:
     return n
 
 
+def lane_flops(closed) -> int:
+    """Σ output elements over all equations (recursing into call
+    sub-jaxprs) of an UNBATCHED lane trace — ≈ VPU flops per lane per
+    kernel evaluation (each emitted op produces ~1 flop per output element
+    per lane). Used by bench.py's utilization accounting; an ESTIMATE, not
+    a hardware counter."""
+    def walk(jx) -> int:
+        n = 0
+        for eqn in jx.eqns:
+            for p in eqn.params.values():
+                sub = getattr(p, "jaxpr", None)
+                if sub is not None and hasattr(sub, "eqns"):
+                    n += walk(sub)
+                elif hasattr(p, "eqns"):
+                    n += walk(p)
+            for ov in eqn.outvars:
+                if hasattr(ov, "aval"):
+                    n += max(1, int(np.prod(ov.aval.shape)))
+        return n
+
+    return walk(closed.jaxpr)
+
+
 def fit_block(block_b: int, n_eqns: int, budget: int = 1_300_000) -> int:
-    """Shrink the lane-block size for large traced graphs so the kernel's
+    """Shrink the batch-block size for large traced graphs so the kernel's
     live values stay inside the ~16MB scoped-VMEM budget (empirical: the
-    ~1.1k-eqn cartpole step JVP fits at 1024 lanes)."""
+    ~1.1k-eqn cartpole step JVP fits at 1024 lanes). Never below 128 (one
+    full lane row)."""
     while block_b > 128 and n_eqns * block_b > budget:
         block_b //= 2
     return block_b
@@ -187,9 +230,11 @@ class LaneFn:
 
     Host side: `consts2d` are the values to pass as (unbatched) kernel
     inputs — the hoisted const-graph boundary plus any array literals, each
-    reshaped 2-D (`to2d`). Kernel side: `call(cvals, args, B)` evaluates the
-    function with every arg carrying a trailing lane axis of size B, where
-    `cvals` are the kernel-ref reads of `consts2d` in order."""
+    reshaped 2-D (`to2d`). Kernel side: `call(cvals, args, B)` evaluates
+    the function with every arg carrying trailing batch axes `B` (an int
+    for a single trailing axis, or a tuple like (block//128, 128) for the
+    sublane+lane tail the TPU kernels use), where `cvals` are the
+    kernel-ref reads of `consts2d` in order."""
 
     def __init__(self, fn, example_args):
         self.closed = jax.make_jaxpr(fn)(*example_args)
@@ -223,9 +268,9 @@ class LaneFn:
     def n_consts(self) -> int:
         return len(self.consts2d)
 
-    def call(self, cvals2d, args, B):
+    def call(self, cvals2d, args, B: BShape):
         """Evaluate inside a kernel. cvals2d: reads of the const refs
-        (2-D); args: lane-batched values (..., B)."""
+        (2-D); args: batch-tailed values (..., *B)."""
         cvals = []
         for c, (shape, dt) in zip(cvals2d, self.meta):
             v = c.reshape(shape)
@@ -261,36 +306,8 @@ def _remap_consts(consts, literal_vals):
     return out
 
 
-def _bcast_in_dim(val, shape, bdims) -> jax.Array:
-    """`lax.broadcast_in_dim` that never produces a REPLICATED non-singleton
-    second-minor dimension.
-
-    Mosaic tracks layouts only for the last two (sublane, lane) dims; a
-    broadcast that inserts/expands the result's second-minor dim leaves it
-    sublane-REPLICATED ("32,{*,0},(8,128),-2"), and several consumers
-    (mul/relayout) then fail with "Invalid relayout: Non-singleton logical
-    dimension is replicated in destination but not in source" (the round-2
-    half-cheetah bench failure). Materialize exactly that dim by
-    concatenating real copies; all other dims broadcast natively (leading
-    dims are vreg-array replication — harmless; the lane dim is the batch
-    and always carried over)."""
-    shape = tuple(shape)
-    bdims = tuple(bdims)
-    rank = len(shape)
-    if rank < 2:
-        return jax.lax.broadcast_in_dim(val, shape, bdims)
-    sm = rank - 2
-    src_sizes = {od: val.shape[i] for i, od in enumerate(bdims)}
-    if shape[sm] == 1 or src_sizes.get(sm, 1) == shape[sm]:
-        # second-minor carried over from a real input dim (or singleton)
-        return jax.lax.broadcast_in_dim(val, shape, bdims)
-    pre = shape[:sm] + (1,) + shape[sm + 1:]
-    x = jax.lax.broadcast_in_dim(val, pre, bdims)
-    return jax.lax.concatenate([x] * shape[sm], sm)
-
-
-def _bcast(val: jax.Array, batched: bool, B: int) -> jax.Array:
-    """Materialize an unbatched value to shape val.shape + (B,).
+def _bcast(val: jax.Array, batched: bool, bt: Tuple[int, ...]) -> jax.Array:
+    """Materialize an unbatched value to shape val.shape + bt.
 
     Concrete (non-tracer) values lower via per-element `lax.full`
     immediates — any array-shaped concrete intermediate would be captured
@@ -299,61 +316,67 @@ def _bcast(val: jax.Array, batched: bool, B: int) -> jax.Array:
     out by `hoist_unbatched`), so the element count is small."""
     if batched:
         return val
+    nbt = len(bt)
     if not isinstance(val, jcore.Tracer):
         a = np.asarray(val)
         if a.ndim == 0:
-            return jax.lax.full((B,), a.item(), a.dtype)
-        rows = [jax.lax.full((B,), x.item(), a.dtype) for x in a.ravel()]
-        return jnp.stack(rows).reshape(a.shape + (B,))
-    return jnp.broadcast_to(val[..., None], val.shape + (B,))
+            return jax.lax.full(bt, a.item(), a.dtype)
+        rows = [jax.lax.full(bt, x.item(), a.dtype) for x in a.ravel()]
+        return jnp.stack(rows).reshape(a.shape + bt)
+    if nbt == 1:
+        return jnp.broadcast_to(val[..., None], val.shape + bt)
+    # nbt == 2: Mosaic rejects direct rank+2 broadcasts of tiny traced
+    # vectors ("infer-vector-layout: unsupported shape cast"); broadcast
+    # onto lanes first (the proven rank+1 form), then materialize the
+    # sublane batch axis by concatenation.
+    vl = jnp.broadcast_to(val[..., None], val.shape + bt[-1:])
+    vl = jax.lax.expand_dims(vl, (val.ndim,))
+    if bt[0] == 1:
+        return vl
+    return jax.lax.concatenate([vl] * bt[0], val.ndim)
 
 
-def _lane_transpose(x: jax.Array, perm: Sequence[int]) -> jax.Array:
-    """Permutation of the LEADING dims of a lane-batched value (trailing
-    lane axis fixed), without emitting `tpu.transpose` on rank>=4 vectors.
-
-    Mosaic compiles standalone >=4-D lane-last transposes, but rejects them
-    when the producer's inferred layout carries an implicit dimension
-    ("Not implemented: Layout with implicit dimension" — the round-2 bench
-    failure on vector<3x5x9x128xf32>, perm (1,0,2,3)). The leading dims
-    here are tiny physics dims, so a non-trivial permutation is safely
-    unrolled: slice along the dim that must come first, recurse, stack via
-    concat — ops whose Mosaic lowering normalizes layout."""
+def _lane_transpose(x: jax.Array, perm: Sequence[int], nbt: int) -> jax.Array:
+    """Permutation of the LEADING dims of a batch-tailed value (trailing
+    `nbt` batch axes fixed). Non-trivial permutations with >2 leading dims
+    are unrolled into slice/concat (Mosaic rejected >=4-D transposes with
+    implicit-dim layouts in round 2; with the sublane+lane tail native
+    leading transposes compile, but the unroll is kept as correctness-
+    neutral insurance for deep ranks)."""
     perm = tuple(perm)
     rank = x.ndim
-    assert perm[-1] == rank - 1, "lane axis must stay last"
+    assert perm[-nbt:] == tuple(range(rank - nbt, rank)), \
+        "batch tail must stay last"
     if perm == tuple(range(rank)):
         return x
-    if rank <= 3:
-        # (lead..., lane) with <=2 leading dims: native transpose — this is
-        # the form round-1/2 kernels already compile on real TPU.
+    if rank <= 2 + nbt:
         return jax.lax.transpose(x, perm)
     d = perm[0]  # source dim that becomes output dim 0
     sub = [p - (p > d) for p in perm[1:]]
     parts = []
     for i in range(x.shape[d]):
         sl = jax.lax.index_in_dim(x, i, axis=d, keepdims=False)
-        parts.append(jax.lax.expand_dims(_lane_transpose(sl, sub), (0,)))
+        parts.append(jax.lax.expand_dims(_lane_transpose(sl, sub, nbt), (0,)))
     return parts[0] if len(parts) == 1 else jax.lax.concatenate(parts, 0)
 
 
-def _dot_general_unrolled(lhs, rhs, lc, rc, B: int):
-    """Transpose-free dot_general (no batch dims): unroll the (tiny)
-    contraction index set; each term is slice + broadcast_in_dim with
-    strictly increasing dims + multiply — all layout-safe in Mosaic.
-    Same FLOPs as the materialize-and-reduce path, lower peak VMEM (no
-    (lf..., rf..., c..., B) intermediate)."""
-    import itertools
-
-    lfree = [d for d in range(lhs.ndim - 1) if d not in lc]
-    rfree = [d for d in range(rhs.ndim - 1) if d not in rc]
+def _dot_general_unrolled(lhs, rhs, lc, rc, bt: Tuple[int, ...]):
+    """Transpose- and reduce-free dot_general (no batch dims): unroll the
+    (tiny) contraction index set; each term is slice + broadcast_in_dim
+    with strictly increasing dims + multiply-accumulate — all layout-safe
+    in Mosaic (no second-minor reduction, no mid-kernel transpose; see the
+    module docstring for the two failure modes this avoids). Same FLOPs as
+    materialize-and-reduce, lower peak VMEM."""
+    nbt = len(bt)
+    lfree = [d for d in range(lhs.ndim - nbt) if d not in lc]
+    rfree = [d for d in range(rhs.ndim - nbt) if d not in rc]
     lfs = tuple(lhs.shape[d] for d in lfree)
     rfs = tuple(rhs.shape[d] for d in rfree)
     nlf, nrf = len(lfs), len(rfs)
-    full = lfs + rfs + (B,)
+    full = lfs + rfs + bt
     rank = len(full)
-    l_dims = tuple(range(nlf)) + (rank - 1,)
-    r_dims = tuple(range(nlf, nlf + nrf)) + (rank - 1,)
+    l_dims = tuple(range(nlf)) + tuple(range(rank - nbt, rank))
+    r_dims = tuple(range(nlf, nlf + nrf)) + tuple(range(rank - nbt, rank))
     csizes = [lhs.shape[d] for d in lc]
     out = None
     for idx in itertools.product(*[range(s) for s in csizes]):
@@ -362,50 +385,46 @@ def _dot_general_unrolled(lhs, rhs, lc, rc, B: int):
             ls = jax.lax.index_in_dim(ls, i, axis=d, keepdims=False)
         for d, i in sorted(zip(rc, idx), reverse=True):
             rs = jax.lax.index_in_dim(rs, i, axis=d, keepdims=False)
-        term = _bcast_in_dim(ls, full, l_dims) * \
-            _bcast_in_dim(rs, full, r_dims)
+        term = jax.lax.broadcast_in_dim(ls, full, l_dims) * \
+            jax.lax.broadcast_in_dim(rs, full, r_dims)
         out = term if out is None else out + term
     return out
 
 
-def _dot_general_lanes(lhs, rhs, dimension_numbers, B: int):
-    """dot_general with both operands batched on a trailing lane axis,
-    lowered to broadcast-multiply + reduce_sum (VPU-only; the contracted
-    dims are tiny physics dims, the FLOPs live in the lane axis)."""
+def _dot_general_lanes(lhs, rhs, dimension_numbers, B: BShape):
+    """dot_general with both operands batched on trailing batch axes,
+    lowered for the VPU (the contracted dims are tiny physics dims, the
+    FLOPs live in the batch axes)."""
+    bt = _bt(B)
+    nbt = len(bt)
     (lc, rc), (lb, rb) = dimension_numbers
-    lhs_rank = lhs.ndim - 1
-    rhs_rank = rhs.ndim - 1
+    lhs_rank = lhs.ndim - nbt
+    rhs_rank = rhs.ndim - nbt
     lfree = [d for d in range(lhs_rank) if d not in lc and d not in lb]
     rfree = [d for d in range(rhs_rank) if d not in rc and d not in rb]
-    # out layout: batch..., lfree..., rfree..., lane
-    # Align both to: batch..., lfree..., rfree..., contract..., lane then
-    # reduce the contract block.
-    l_perm = list(lb) + lfree + list(lc) + [lhs_rank]
-    r_perm = list(rb) + rfree + list(rc) + [rhs_rank]
-    id_l = l_perm == list(range(lhs.ndim))
-    id_r = r_perm == list(range(rhs.ndim))
-    if not (id_l and id_r) and not lb:
-        # Non-canonical operand order would need a mid-kernel transpose,
-        # which Mosaic rejects for >=4-D vectors with implicit-dim layouts
-        # (the round-2 bench failure). Unroll the contraction instead.
-        return _dot_general_unrolled(lhs, rhs, lc, rc, B)
-    lt = _lane_transpose(lhs, l_perm)
-    rt = _lane_transpose(rhs, r_perm)
+    if lc and not lb:
+        # real contractions: ALWAYS unrolled (see _dot_general_unrolled)
+        return _dot_general_unrolled(lhs, rhs, lc, rc, bt)
+    # outer products (nc==0) or dot-batch dims: materialize form.
+    # out layout: batch..., lfree..., rfree..., bt
+    l_perm = list(lb) + lfree + list(lc) + \
+        list(range(lhs_rank, lhs_rank + nbt))
+    r_perm = list(rb) + rfree + list(rc) + \
+        list(range(rhs_rank, rhs_rank + nbt))
+    lt = _lane_transpose(lhs, l_perm, nbt)
+    rt = _lane_transpose(rhs, r_perm, nbt)
     nb, nlf, nrf, nc = len(lb), len(lfree), len(rfree), len(lc)
-    # broadcast both to the full (b..., lf..., rf..., c..., B) shape with
-    # explicit broadcast_in_dim — singleton-inserting reshapes are
-    # unsupported shape casts in Mosaic.
     bsh = lt.shape[:nb]
     lfs = lt.shape[nb: nb + nlf]
     csh = lt.shape[nb + nlf: nb + nlf + nc]
     rfs = rt.shape[nb: nb + nrf]
-    full = bsh + lfs + rfs + csh + (lt.shape[-1],)
+    full = bsh + lfs + rfs + csh + bt
     rank = len(full)
     l_dims = tuple(range(nb + nlf)) + tuple(range(nb + nlf + nrf, rank))
     r_dims = tuple(range(nb)) + tuple(range(nb + nlf, rank))
-    lt = _bcast_in_dim(lt, full, l_dims)
-    rt = _bcast_in_dim(rt, full, r_dims)
-    prod = lt * rt  # (b..., lf..., rf..., c..., B)
+    lt = jax.lax.broadcast_in_dim(lt, full, l_dims)
+    rt = jax.lax.broadcast_in_dim(rt, full, r_dims)
+    prod = lt * rt  # (b..., lf..., rf..., c..., bt)
     axes = tuple(range(nb + nlf + nrf, nb + nlf + nrf + nc))
     return jnp.sum(prod, axis=axes) if axes else prod
 
@@ -415,18 +434,22 @@ def lane_eval(
     consts: Sequence[Any],
     args: Sequence[Any],
     args_batched: Sequence[bool],
-    B: int,
+    B: BShape,
     literal_vals: Dict[Tuple, jax.Array] = None,
     pre_env: Dict[Any, jax.Array] = None,
 ) -> List[jax.Array]:
-    """Evaluate `jaxpr` with selected args carrying a trailing lane-batch
-    axis of size B. Returns outputs, each batched (broadcast if the
-    corresponding output turned out constant across the batch).
+    """Evaluate `jaxpr` with selected args carrying trailing batch axes
+    `B` (int or tuple; the TPU kernels pass (block//128, 128)). Returns
+    outputs, each batched (broadcast if the corresponding output turned
+    out constant across the batch).
 
     `literal_vals` maps `_lit_key` of non-scalar jaxpr Literals to values
     already inside the kernel (see `collect_array_literals`). `pre_env`
     maps jaxpr vars to precomputed unbatched values (`hoist_unbatched`);
     when given, equations not needed for the outputs are skipped."""
+    bt = _bt(B)
+    nbt = len(bt)
+    bdims_of = lambda r: tuple(range(r, r + nbt))  # noqa: E731
     env: Dict[Any, Any] = {}
     is_b: Dict[Any, bool] = {}
 
@@ -526,23 +549,24 @@ def lane_eval(
         if prim in _ELEMENTWISE or prim in _DTYPE_OPS:
             # scalar literals may appear rank-mismatched in the jaxpr;
             # broadcast everything to the common unbatched shape first
-            ushapes = [v.shape[:-1] if b else np.shape(v) for v, b in ins]
+            ushapes = [v.shape[:-nbt] if b else np.shape(v) for v, b in ins]
             tgt = np.broadcast_shapes(*ushapes) if ins else ()
             vb = []
             for (v, b), us in zip(ins, ushapes):
                 if us != tgt:
                     if b:
-                        osh = tgt + v.shape[-1:]
-                        v = _bcast_in_dim(
-                            v, osh, tuple(range(len(osh) - v.ndim, len(osh)))
+                        osh = tgt + v.shape[-nbt:]
+                        v = jax.lax.broadcast_in_dim(
+                            v, osh,
+                            tuple(range(len(osh) - v.ndim, len(osh))),
                         )
                     elif not isinstance(v, jcore.Tracer) and np.ndim(v) == 0:
                         a = np.asarray(v)
-                        vb.append(jax.lax.full(tgt + (B,), a.item(), a.dtype))
+                        vb.append(jax.lax.full(tgt + bt, a.item(), a.dtype))
                         continue
                     else:
                         v = jnp.broadcast_to(v, tgt)
-                vb.append(_bcast(v, b, B))
+                vb.append(_bcast(v, b, bt))
             out = eqn.primitive.bind(*vb, **eqn.params)
             outs = out if eqn.primitive.multiple_results else [out]
             for ov, o in zip(eqn.outvars, outs):
@@ -551,19 +575,21 @@ def lane_eval(
         elif prim == "broadcast_in_dim":
             shape = tuple(eqn.params["shape"])
             bdims = tuple(eqn.params["broadcast_dimensions"])
-            out = _bcast_in_dim(
-                vals[0], shape + (B,), bdims + (len(shape),)
+            out = jax.lax.broadcast_in_dim(
+                vals[0], shape + bt, bdims + bdims_of(len(shape))
             )
             write(eqn.outvars[0], out, True)
 
         elif prim == "reshape":
             new_sizes = tuple(eqn.params["new_sizes"])
-            out = jax.lax.reshape(vals[0], new_sizes + (B,))
+            out = jax.lax.reshape(vals[0], new_sizes + bt)
             write(eqn.outvars[0], out, True)
 
         elif prim == "transpose":
             perm = tuple(eqn.params["permutation"])
-            out = _lane_transpose(vals[0], perm + (len(perm),))
+            out = _lane_transpose(
+                vals[0], perm + bdims_of(len(perm)), nbt
+            )
             write(eqn.outvars[0], out, True)
 
         elif prim == "squeeze":
@@ -576,10 +602,11 @@ def lane_eval(
 
         elif prim == "slice":
             p = eqn.params
-            starts = tuple(p["start_indices"]) + (0,)
-            limits = tuple(p["limit_indices"]) + (B,)
+            starts = tuple(p["start_indices"]) + (0,) * nbt
+            limits = tuple(p["limit_indices"]) + bt
             strides = p["strides"]
-            strides = (tuple(strides) + (1,)) if strides is not None else None
+            strides = (tuple(strides) + (1,) * nbt) if strides is not None \
+                else None
             out = jax.lax.slice(vals[0], starts, limits, strides)
             write(eqn.outvars[0], out, True)
 
@@ -588,7 +615,7 @@ def lane_eval(
             write(eqn.outvars[0], out, True)
 
         elif prim == "concatenate":
-            vb = [_bcast(v, b, B) for v, b in ins
+            vb = [_bcast(v, b, bt) for v, b in ins
                   if int(np.prod(np.shape(v))) > 0]
             out = jax.lax.concatenate(vb, eqn.params["dimension"])
             write(eqn.outvars[0], out, True)
@@ -600,9 +627,12 @@ def lane_eval(
                 write(ov, o, True)
 
         elif prim in _REDUCE_OPS:
+            # reduce axes address only LEADING (vreg-array) dims — with the
+            # sublane+lane batch tail these reductions are layout-safe.
             axes = tuple(eqn.params["axes"])
             p = {k: v for k, v in eqn.params.items() if k not in ("axes",)}
-            out = eqn.primitive.bind(_bcast(vals[0], bs[0], B), axes=axes, **p)
+            out = eqn.primitive.bind(_bcast(vals[0], bs[0], bt),
+                                     axes=axes, **p)
             write(eqn.outvars[0], out, True)
 
         elif prim == "dot_general":
@@ -610,13 +640,13 @@ def lane_eval(
             if any(int(np.prod(np.shape(v))) == 0 for v in vals):
                 # contraction over an empty dim: exact zeros (lax.full is
                 # an immediate; a zeros CONSTANT would be captured)
-                out = jax.lax.full(tuple(oav.shape) + (B,), 0.0, oav.dtype)
+                out = jax.lax.full(tuple(oav.shape) + bt, 0.0, oav.dtype)
                 write(eqn.outvars[0], out, True)
             else:
-                lhs = _bcast(vals[0], bs[0], B)
-                rhs = _bcast(vals[1], bs[1], B)
+                lhs = _bcast(vals[0], bs[0], bt)
+                rhs = _bcast(vals[1], bs[1], bt)
                 out = _dot_general_lanes(
-                    lhs, rhs, eqn.params["dimension_numbers"], B
+                    lhs, rhs, eqn.params["dimension_numbers"], bt
                 )
                 pd = eqn.params.get("preferred_element_type")
                 if pd is not None and out.dtype != pd:
@@ -629,9 +659,11 @@ def lane_eval(
             idx = vals[1:]
             if any(bs[1:]):
                 raise NotImplementedError("lane_eval: batched dynamic_slice index")
-            sizes = tuple(eqn.params["slice_sizes"]) + (B,)
+            sizes = tuple(eqn.params["slice_sizes"]) + bt
             zero = jnp.zeros((), dtype=idx[0].dtype) if idx else jnp.zeros((), jnp.int32)
-            out = jax.lax.dynamic_slice(_bcast(op, bs[0], B), tuple(idx) + (zero,), sizes)
+            out = jax.lax.dynamic_slice(
+                _bcast(op, bs[0], bt), tuple(idx) + (zero,) * nbt, sizes
+            )
             write(eqn.outvars[0], out, True)
 
         elif prim == "dynamic_update_slice":
@@ -641,7 +673,8 @@ def lane_eval(
                 raise NotImplementedError("lane_eval: batched dynamic_update_slice index")
             zero = jnp.zeros((), dtype=idx[0].dtype) if idx else jnp.zeros((), jnp.int32)
             out = jax.lax.dynamic_update_slice(
-                _bcast(op, bs[0], B), _bcast(upd, bs[1], B), tuple(idx) + (zero,)
+                _bcast(op, bs[0], bt), _bcast(upd, bs[1], bt),
+                tuple(idx) + (zero,) * nbt
             )
             write(eqn.outvars[0], out, True)
 
@@ -651,7 +684,7 @@ def lane_eval(
             sub_consts = _remap_consts(
                 sub.consts if hasattr(sub, "consts") else [], literal_vals
             )
-            outs = lane_eval(sub_jaxpr, sub_consts, vals, bs, B, literal_vals)
+            outs = lane_eval(sub_jaxpr, sub_consts, vals, bs, bt, literal_vals)
             for ov, o in zip(eqn.outvars, outs):
                 write(ov, o, True)
 
@@ -662,7 +695,38 @@ def lane_eval(
             sub_consts = _remap_consts(
                 sub.consts if hasattr(sub, "consts") else [], literal_vals
             )
-            outs = lane_eval(sub_jaxpr, sub_consts, vals, bs, B, literal_vals)
+            outs = lane_eval(sub_jaxpr, sub_consts, vals, bs, bt, literal_vals)
+            for ov, o in zip(eqn.outvars, outs):
+                write(ov, o, True)
+
+        elif prim == "custom_linear_solve":
+            # Forward semantics: run the `solve` sub-jaxpr on (its consts,
+            # b). The matvec/vecmat/transpose sub-jaxprs only matter for
+            # AD rules, which JAX has already applied by the time this
+            # jaxpr exists (a JVP trace contains TWO custom_linear_solve
+            # eqns — primal and implicit-tangent — each forward-evaluated
+            # here; see ops/frozen_contact.solve_frozen).
+            cl = eqn.params["const_lengths"]
+            js = eqn.params["jaxprs"]
+            ofs = cl.matvec + cl.vecmat
+            sol = ins[ofs: ofs + cl.solve]
+            ofs += cl.solve + cl.transpose_solve
+            bins = ins[ofs:]
+            sub = js.solve
+            sub_consts = _remap_consts(sub.consts, literal_vals)
+            pairs = sol + bins
+            outs = lane_eval(
+                sub.jaxpr, sub_consts,
+                [v for v, _ in pairs], [b for _, b in pairs],
+                bt, literal_vals,
+            )
+            for ov, o in zip(eqn.outvars, outs):
+                write(ov, o, True)
+
+        elif prim == "optimization_barrier":
+            outs = jax.lax.optimization_barrier(
+                tuple(_bcast(v, b_, bt) for v, b_ in ins)
+            )
             for ov, o in zip(eqn.outvars, outs):
                 write(ov, o, True)
 
@@ -678,5 +742,5 @@ def lane_eval(
     outs = []
     for ov in jaxpr.outvars:
         v, b = read(ov)
-        outs.append(_bcast(v, b, B))
+        outs.append(_bcast(v, b, bt))
     return outs

@@ -36,22 +36,34 @@ def inv_spd_pivots(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
     if n == 1:
         piv = A[..., 0, 0]
         return 1.0 / piv[..., None, None], piv
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
-    M = jnp.concatenate([A, eye], axis=-1)            # (..., n, 2n)
-    min_piv = None
+    # ROW-DECOMPOSED Gauss-Jordan: the augmented [A | I] is held as n
+    # separate (..., 2n) row values and each elimination updates rows
+    # independently. Mathematically identical to the matrix form (same
+    # rank-1 updates, pivot reciprocal multiplied instead of divided), but
+    # the emitted graph contains only small per-row ops — the monolithic
+    # (n, 2n) chained form made the Mosaic compile helper crash outright
+    # for n=27 inside the lane kernels (round-3 bisect: three chained
+    # (27,54,...) pivot-divide iterations were already fatal, while the
+    # full 27-step row form compiles in ~20s).
     eye_np = np.eye(n)
+    rows = [
+        jnp.concatenate(
+            [A[..., k, :],
+             jnp.zeros_like(A[..., k, :]) + jnp.asarray(eye_np[k], A.dtype)],
+            axis=-1,
+        )
+        for k in range(n)
+    ]
+    min_piv = None
     for k in range(n):
-        piv = M[..., k, k]
+        piv = rows[k][..., k]
         min_piv = piv if min_piv is None else jnp.minimum(min_piv, piv)
-        row = M[..., k, :] / piv[..., None]
-        M = M - M[..., :, k:k + 1] * row[..., None, :]
-        # write row k back additively: after the rank-1 update row k is
-        # zero (to rounding), so + e_k⊗row == .at[k].set(row) — but stays
-        # scatter-free (scatter is serial on TPU and unsupported in the
-        # lane kernels, ops/lanevmap.py)
-        oh = jnp.asarray(eye_np[k][:, None], dtype=A.dtype)
-        M = M + oh * row[..., None, :]
-    return M[..., :, n:], min_piv
+        prow = rows[k] * (1.0 / piv)[..., None]
+        rows = [
+            prow if i == k else rows[i] - rows[i][..., k:k + 1] * prow
+            for i in range(n)
+        ]
+    return jnp.stack([r[..., n:] for r in rows], axis=-2), min_piv
 
 
 def inv_spd(A: jax.Array) -> jax.Array:

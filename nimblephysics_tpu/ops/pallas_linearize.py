@@ -145,10 +145,16 @@ def linearize_pallas(
         lf = LaneFn(jvp_fn, (z(nx), z(na), z(m_cl), z(m_cl), z(nx), z(na)))
     from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
     block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr))
+    # the batch tail is (block//128, 128): blocks must be full lane rows
+    block_b = max(128, (block_b // 128) * 128)
 
     K = nx + na
-    N = B * T * K                       # lanes: (point, tangent) pairs
+    N = B * T * K                       # batch: (point, tangent) pairs
     N_pad = -(-N // block_b) * block_b
+    # batch tail (sublanes, lanes): the batch fills BOTH vreg dims so the
+    # tiny physics dims stay in vreg-array positions (see ops/lanevmap.py)
+    S_b = block_b // 128
+    bt = (S_b, 128)
 
     pts_x = jnp.repeat(xs.reshape(B * T, nx), K, axis=0)      # (N, nx)
     pts_u = jnp.repeat(u.reshape(B * T, na), K, axis=0)       # (N, na)
@@ -156,11 +162,16 @@ def linearize_pallas(
     dx = basis[:, :nx]
     du = basis[:, nx:]
 
+    G = N_pad // block_b
+
     def lanes(a):
         aT = a.T
         if N_pad != N:
             aT = jnp.pad(aT, ((0, 0), (0, N_pad - N)))
-        return aT
+        # (rows, G, S_b, 128): the grid walks G; the block's last two dims
+        # then EQUAL the array's (Pallas requires last-two divisible by
+        # (8,128) or exactly equal — S_b < 8 is legal only via equality)
+        return aT.reshape(aT.shape[0], G, S_b, 128)
 
     xT, uT, dxT, duT = lanes(pts_x), lanes(pts_u), lanes(dx), lanes(du)
     cl_in = []
@@ -175,14 +186,15 @@ def linearize_pallas(
         t_ref = refs[-1]
         (t,) = lf.call(
             [cr[...] for cr in const_refs],
-            [ar[...] for ar in arg_refs],
-            block_b,
+            [jax.lax.squeeze(ar[...], (1,)) for ar in arg_refs],
+            bt,
         )
-        t_ref[...] = t
+        t_ref[...] = jax.lax.expand_dims(t, (1,))
 
-    grid = (N_pad // block_b,)
+    grid = (G,)
     lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
-        (rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows, 1, S_b, 128), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     arg_specs = [lane_spec(nx), lane_spec(na)]
     if classes is not None:
@@ -193,9 +205,10 @@ def linearize_pallas(
         grid=grid,
         in_specs=[_const_spec(c) for c in lf.consts2d] + arg_specs,
         out_specs=lane_spec(nx),
-        out_shape=jax.ShapeDtypeStruct((nx, N_pad), dtype),
+        out_shape=jax.ShapeDtypeStruct((nx, G, S_b, 128), dtype),
         interpret=interpret,
     )(*lf.consts2d, xT, uT, *cl_in, dxT, duT)
+    t_p = t_p.reshape(nx, N_pad)
 
     # t_p[:, n*K + k] = J(point n) @ e_k  ->  (B, T, K, nx) -> Jacobians
     cols = t_p[:, :N].T.reshape(B, T, K, nx)

@@ -45,7 +45,7 @@ def _pad8(e: int) -> int:
 
 def _rollout_kernel(
     lf: LaneFn, nx: int, na: int, m_cl: int, t_chunk: int, n_chunks: int,
-    T: int, block: int,
+    T: int, bt: tuple,
     *refs,
 ):
     n_c = lf.n_consts
@@ -55,11 +55,11 @@ def _rollout_kernel(
 
     c = pl.program_id(1)
     cvals = [cr[...] for cr in const_refs]
-    alpha = alpha_ref[0]
+    alpha = jax.lax.squeeze(alpha_ref[...], (0, 1))
 
     @pl.when(c == 0)
     def _():
-        x0 = x0_ref[...]
+        x0 = jax.lax.squeeze(x0_ref[...], (1,))
         init = [x0[i] for i in range(nx)] + [jnp.zeros_like(alpha)]
         init += [jnp.zeros_like(alpha)] * (carry_s.shape[0] - len(init))
         carry_s[...] = jnp.stack(init)
@@ -71,9 +71,9 @@ def _rollout_kernel(
     oxr, our, oK, ok_ = 0, nx, nx + na, nx + na + na * nx
     ocl = nx + na + na * nx + na
     for r in range(t_chunk):
-        st = steps_ref[r]
+        st = jax.lax.squeeze(steps_ref[r], (1,))
         t_idx = c * t_chunk + r
-        t_lane = jnp.full((block,), t_idx, jnp.float32)
+        t_lane = jnp.full(bt, t_idx, jnp.float32)
         xv = jnp.stack(x)
         xref = st[oxr: oxr + nx]
         uref = st[our: our + na]
@@ -82,14 +82,14 @@ def _rollout_kernel(
         args = [xv, xref, uref, Kt, kt]
         if m_cl:
             args += [st[ocl: ocl + m_cl], st[ocl + m_cl: ocl + 2 * m_cl]]
-        x2, u, c_t = lf.call(cvals, args + [alpha, t_lane], block)
-        live = (jnp.full((block,), t_idx, jnp.int32) < T)
+        x2, u, c_t = lf.call(cvals, args + [alpha, t_lane], bt)
+        live = (jnp.full(bt, t_idx, jnp.int32) < T)
         x = [jnp.where(live, x2[i], x[i]) for i in range(nx)]
         cost = cost + jnp.where(live, c_t, jnp.zeros_like(c_t))
-        out_ref[r] = jnp.concatenate(
+        out_ref[r] = jax.lax.expand_dims(jnp.concatenate(
             [jnp.stack(x), u, jnp.zeros(
-                (out_ref.shape[1] - nx - na, block), x2.dtype)], axis=0
-        )
+                (out_ref.shape[1] - nx - na,) + bt, x2.dtype)], axis=0
+        ), (1,))
 
     row = [x[i] for i in range(nx)] + [cost]
     row += [jnp.zeros_like(cost)] * (carry_s.shape[0] - len(row))
@@ -97,9 +97,9 @@ def _rollout_kernel(
 
     @pl.when(c == n_chunks - 1)
     def _():
-        cost_ref[...] = jnp.stack(
+        cost_ref[...] = jax.lax.expand_dims(jnp.stack(
             [cost] + [jnp.zeros_like(cost)] * (cost_ref.shape[0] - 1)
-        )
+        ), (1,))
 
 
 def rollout_gains_pallas(
@@ -167,14 +167,29 @@ def rollout_gains_pallas(
                               jnp.zeros((), dtype), jnp.zeros((), dtype)))
     from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
     block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr))
+    # the batch tail is (block//128, 128): blocks must be full lane rows
+    block_b = max(128, (block_b // 128) * 128)
+    S_b = block_b // 128
 
     L = A * B
     L_pad = -(-L // block_b) * block_b
     E = nx + na + na * nx + na + 2 * m_cl
     E_pad = _pad8(E)
     if t_chunk is None:
+        # VMEM budget: the steps/out blocks (t_chunk * (E_pad + Eo) rows x
+        # block_b lanes x 4B, double-buffered) must coexist with the lane
+        # graph's live values (~n_eqns * block_b * 4B — what fit_block
+        # bounded). A contact-model step graph is large, so t_chunk often
+        # collapses to 1 (observed: 30.7M > 16M scoped-vmem OOM at
+        # t_chunk=16 on the jump-worm frozen step).
+        n_eqns = count_eqns(lf.closed.jaxpr)
+        # 6 bytes/eqn/lane ~ live values + Mosaic spill/temporary overhead
+        # (empirical: t_chunk=16 on the cheetah frozen step blew the 16M
+        # scoped-vmem stack by 21M)
+        budget = (8 << 20) - 6 * n_eqns * block_b
+        per_step = (E_pad + _pad8(nx + na)) * block_b * 4 * 2
         t_chunk = 1 if interpret else max(
-            1, min(T, (1 << 21) // max(E_pad * block_b * 4, 1))
+            1, min(T, budget // max(per_step, 1))
         )
     n_chunks = -(-T // t_chunk)
     T_pad = n_chunks * t_chunk
@@ -197,43 +212,49 @@ def rollout_gains_pallas(
         parts += [tile_lanes(classes[0]), tile_lanes(classes[1])]
     packed = jnp.concatenate(parts, axis=1)
     packed = jnp.pad(packed, ((0, 0), (0, E_pad - packed.shape[1]), (0, 0)))
+    packed = packed.reshape(T_pad, E_pad, L_pad // block_b, S_b, 128)
 
     x0_l = jnp.pad(jnp.tile(x0, (A, 1)).T, ((0, 0), (0, L_pad - L)))
+    x0_l = x0_l.reshape(nx, L_pad // block_b, S_b, 128)
     alpha_l = jnp.pad(jnp.repeat(alphas, B)[None, :], ((0, 0), (0, L_pad - L)))
+    alpha_l = alpha_l.reshape(1, L_pad // block_b, S_b, 128)
 
     Eo_pad = _pad8(nx + na)
     Lb = L_pad // block_b
     grid = (Lb, n_chunks)
 
     kernel = partial(_rollout_kernel, lf, nx, na, m_cl, t_chunk, n_chunks, T,
-                     block_b)
+                     (S_b, 128))
     out_p, cost_p = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[_const_spec(cs) for cs in lf.consts2d]
         + [
-            pl.BlockSpec((t_chunk, E_pad, block_b),
-                         lambda lb, cc: (cc, 0, lb),
+            pl.BlockSpec((t_chunk, E_pad, 1, S_b, 128),
+                         lambda lb, cc: (cc, 0, lb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nx, block_b), lambda lb, cc: (0, lb),
+            pl.BlockSpec((nx, 1, S_b, 128), lambda lb, cc: (0, lb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_b), lambda lb, cc: (0, lb),
+            pl.BlockSpec((1, 1, S_b, 128), lambda lb, cc: (0, lb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((t_chunk, Eo_pad, block_b),
-                         lambda lb, cc: (cc, 0, lb),
+            pl.BlockSpec((t_chunk, Eo_pad, 1, S_b, 128),
+                         lambda lb, cc: (cc, 0, lb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_b), lambda lb, cc: (0, lb),
+            pl.BlockSpec((8, 1, S_b, 128), lambda lb, cc: (0, lb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T_pad, Eo_pad, L_pad), dtype),
-            jax.ShapeDtypeStruct((8, L_pad), dtype),
+            jax.ShapeDtypeStruct(
+                (T_pad, Eo_pad, L_pad // block_b, S_b, 128), dtype),
+            jax.ShapeDtypeStruct((8, L_pad // block_b, S_b, 128), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((_pad8(nx + 1), block_b), dtype)],
+        scratch_shapes=[pltpu.VMEM((_pad8(nx + 1), S_b, 128), dtype)],
         interpret=interpret,
     )(*lf.consts2d, packed, x0_l, alpha_l)
+    out_p = out_p.reshape(T_pad, Eo_pad, L_pad)
+    cost_p = cost_p.reshape(8, L_pad)
 
     xu = out_p[:T, :, :L].transpose(2, 0, 1)        # (L, T, Eo_pad)
     xs_steps = xu[:, :, :nx].reshape(A, B, T, nx)

@@ -97,6 +97,9 @@ def sharded_mpc_solves(
             mesh=mesh,
             in_specs=(P(axis), P(axis)),
             out_specs=(P(axis), P()),
+            # pallas_call outputs carry no varying-mesh-axes metadata;
+            # the per-shard program is replicated-by-construction here
+            check_vma=False,
         )
         def solve_shard(x0s, u_warms):
             if contact:

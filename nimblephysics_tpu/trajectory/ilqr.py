@@ -60,6 +60,14 @@ class ILQRConfig:
     #     are low-precision); falls back to XLA jacfwd otherwise.
     #   "xla": always the vmapped jacfwd sweep.
     linearize: str = "auto"
+    # Line-search rollout sweep in ilqr_solve_batch:
+    #   "auto": the fused Pallas closed-loop rollout kernel whenever the
+    #     model qualifies (contact-free, or frozen classes given) — even
+    #     when `linearize="xla"` (the hybrid lane for models whose JVP
+    #     kernel exceeds the Mosaic compile envelope but whose primal
+    #     kernel compiles).
+    #   "xla": always the scan-based rollout.
+    rollout: str = "auto"
 
 
 class ILQRSolution(NamedTuple):
@@ -550,13 +558,14 @@ def ilqr_solve_batch(
 
     from nimblephysics_tpu.ops.contact import lcp_dim
 
-    fused = config.linearize == "auto" and na > 0 and (
-        lcp_dim(model) == 0 or classes is not None
-    )
+    can_fuse = na > 0 and (lcp_dim(model) == 0 or classes is not None)
+    fused_lin = config.linearize == "auto" and can_fuse
+    fused = config.rollout == "auto" and can_fuse
     cl_kernel = None if classes is None else cl_bt
     if fused:
-        from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
         from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
+    if fused_lin:
+        from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
 
         def dyn_jac(xs_bt, u_bt):
             return linearize_pallas(
@@ -564,9 +573,39 @@ def ilqr_solve_batch(
             )
     else:
         def dyn_jac(xs_bt, u_bt):
-            return jax.vmap(jax.vmap(jax.jacfwd(dyn, argnums=(0, 1))))(
-                xs_bt, u_bt, cl_bt
+            # chunk the jacfwd sweep over TIME: evaluating all B*T
+            # linearizations at once materializes tens of GB of tangent
+            # intermediates for contact models (observed 36.6G > 15.75G
+            # HBM at B=1024, H=100 on the jump worm); a lax.map over
+            # time-chunks caps the live set at B*Tc points
+            B_, T_ = xs_bt.shape[0], xs_bt.shape[1]
+            Tc = max(1, min(T_, 16384 // max(B_, 1)))
+            if T_ % Tc != 0:
+                Tc = 1
+            n_c = T_ // Tc
+
+            def one_chunk(args):
+                xs_c, u_c, cl_c = args
+                return jax.vmap(jax.vmap(jax.jacfwd(dyn, argnums=(0, 1))))(
+                    xs_c, u_c, cl_c
+                )
+
+            def reshape_c(a):
+                # (B, T, ...) -> (n_c, B, Tc, ...)
+                return jnp.swapaxes(
+                    a.reshape((B_, n_c, Tc) + a.shape[2:]), 0, 1
+                )
+
+            cl_c = jax.tree_util.tree_map(reshape_c, cl_bt)
+            fx_c, fu_c = jax.lax.map(
+                one_chunk, (reshape_c(xs_bt), reshape_c(u_bt), cl_c)
             )
+
+            def unshape(a):
+                a = jnp.swapaxes(a, 0, 1)  # (B, n_c, Tc, ...)
+                return a.reshape((B_, T_) + a.shape[3:])
+
+            return unshape(fx_c), unshape(fu_c)
     cost_grad = jax.vmap(jax.vmap(jax.grad(running_cost, argnums=(0, 1))))
 
     def hess_one(x, u_t, t):

@@ -28,6 +28,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_NCPU = os.cpu_count() or 1
+if _NCPU < 8:
+    # Round-2 lesson: timing 8 virtual devices on a 2-core host measures
+    # core oversubscription (observed 3.54x at 8 devices ~ 4x
+    # oversubscription), not sharding overhead. The equivalence tests in
+    # tests/test_multichip.py carry the correctness signal; a timing table
+    # here would add noise dressed as data.
+    with open("MULTICHIP_SCALING.md", "w") as f:
+        f.write(
+            "# Virtual-mesh weak-scaling: NOT MEASURED on this host\n\n"
+            f"Host has {_NCPU} cores; timing an 8-virtual-device CPU mesh "
+            "here measures core oversubscription, not sharding overhead "
+            "(round-2 measured 3.54x at 8 devices = ~4x oversubscription "
+            "on 2 cores). Sharded==vmap equivalence is asserted in "
+            "tests/test_multichip.py; real scaling needs >=8 physical "
+            "cores or multi-chip hardware.\n"
+        )
+    print(f"skipped: {_NCPU} cores < 8 (wrote MULTICHIP_SCALING.md stub)")
+    raise SystemExit(0)
+
 jax.config.update("jax_enable_x64", True)
 
 from nimblephysics_tpu.models import builders
