@@ -222,14 +222,17 @@ def direct_boxed_solve(
         # solve A_II x_I = b_I − A_IB x_B  (padded to identity off-interior)
         rhs = i_mask * (b - A @ x_bound)
         Af = i_mask[:, None] * A * i_mask[None, :] + jnp.diag(1.0 - i_mask)
-        # Af = SPD principal block of (J M⁻¹ Jᵀ + cfm·I) padded with identity
-        # -> pivot-free unrolled solve off the serial-LU path for the sizes
-        # real worlds produce; fall back to LAPACK-style solve when the
-        # unroll would bloat the graph.
-        if m <= 24:
-            x_int = linalg_small.solve_spd(Af, rhs)
-        else:
-            x_int = jnp.linalg.solve(Af, rhs)
+        # Af = SPD principal block of (J M⁻¹ Jᵀ + cfm·I) padded with
+        # identity. This is the ROBUSTNESS valve (the staged cascade's
+        # Dantzig-class stage rescues near-rank-deficient A where PGS
+        # stalls), and it runs on the XLA path only — so use the
+        # MINIMUM-NORM solve: on rank-deficient principal blocks
+        # (coplanar-contact structure, cond ~1e6+) an exact solve blows
+        # up along the null space and the reclassification oscillates;
+        # the pseudoinverse keeps iterates bounded (the role the
+        # reference's complete orthogonal decomposition plays,
+        # BackpropSnapshot.cpp:2755).
+        x_int = jnp.linalg.pinv(Af, rtol=1e-12) @ rhs
         x_new = x_int * i_mask + x_bound
         # reclassify: interior rows outside the box go to the boundary;
         # boundary rows with complementarity-violating w come back inside
@@ -260,7 +263,22 @@ def direct_boxed_solve(
             A, b, lo_const, hi_const, zero_fs, best_x,
             tuple([-1] * m), iters=polish_sweeps,
         )
-    return best_x
+    # Exact Newton polish on the final active set: the rounds solve with a
+    # pseudoinverse (bounded iterates on rank-deficient sets) whose SVD
+    # rounding costs ~1e-7 absolute precision; one EXACT solve on the
+    # resolved set restores machine precision, and is kept only when it
+    # actually lowers the complementarity residual (so degenerate sets
+    # where the exact solve blows up along the null space are unaffected).
+    tolp = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
+    ip = ((best_x > lo_const + tolp) & (best_x < hi_const - tolp)).astype(dtype)
+    xb = jnp.clip(best_x, lo_const, hi_const) * (1.0 - ip)
+    rhs_p = ip * (b - A @ xb)
+    Afp = ip[:, None] * A * ip[None, :] + jnp.diag(1.0 - ip)
+    x_pol = jnp.clip(
+        linalg_small.solve_spd(Afp, rhs_p) * ip + xb, lo_const, hi_const
+    )
+    better_p = comp_residual(x_pol) < comp_residual(best_x)
+    return jnp.where(better_p, x_pol, best_x)
 
 
 def lcp_residual(A, x, b, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
