@@ -112,20 +112,29 @@ def _compare_contact(name, model, x0, u0, running, final, H, B, iters):
     cfg_xla = ILQRConfig(iters=iters, alphas=(1.0, 0.6, 0.3, 0.1),
                          unroll=1, linearize="xla")
 
+    copts = {"xla_tpu_scoped_vmem_limit_kib": 65536}
     sol_f, _ = jax.jit(
         lambda a, b: solve_contact_mpc_batch(
             model, a, b, running, final, cfg, outer_iters=1
-        )
+        ),
+        compiler_options=copts,
     )(x0, u0)
 
+    # the scan-based reference path's jacfwd intermediates exceed HBM at
+    # B=1024 (22.6 GB for (B,T,nx/2,m,m) tangents); validate against a
+    # 256-world SUBSET of the same batch — the fused side still runs the
+    # full bench shape, and the distributional comparison is over the
+    # shared subset (stated in the output)
+    B_ref = min(B, 256)
     ref = jax.jit(
         jax.vmap(
             lambda xf, uw: solve_contact_mpc(
                 model, State.from_flat(xf), uw, running, final, cfg_xla,
                 outer_iters=1,
             )[0]
-        )
-    )(x0, u0)
+        ),
+        compiler_options=copts,
+    )(x0[:B_ref], u0[:B_ref])
 
     # evaluate BOTH on the true constrained dynamics (weak-#7 closure:
     # plan quality at bench shapes on the real plant)
@@ -138,13 +147,15 @@ def _compare_contact(name, model, x0, u0, running, final, H, B, iters):
 
     tc = jax.jit(jax.vmap(true_cost))
     cost_f = tc(x0, sol_f.u)
-    cost_r = tc(x0, ref.u)
+    cost_r = tc(x0[:B_ref], ref.u)
 
     # plan quality on the true dynamics: fused plans must improve on the
-    # warm start for the overwhelming majority of worlds
+    # warm start for the overwhelming majority of worlds (FULL batch)
     cost_w = tc(x0, u0)
     frac_improved = float((np.asarray(cost_f) < np.asarray(cost_w)).mean())
-    out = _stats(name, H, B, iters, cost_f, cost_r, sol_f.u, ref.u)
+    out = _stats(name, H, B, iters, cost_f[:B_ref], cost_r,
+                 sol_f.u[:B_ref], ref.u)
+    out["B_ref"] = B_ref
     out["frac_improved_vs_warmstart"] = frac_improved
     return out
 

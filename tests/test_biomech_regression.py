@@ -63,3 +63,21 @@ def test_arnold2013_subject01_marker_fitter_golden():
     # fitted scales are physical
     s = np.asarray(res.scales)
     assert (s > 0.7).all() and (s < 1.4).all()
+
+
+@needs_data
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "subject", ["subject02", "subject04", "subject18", "subject19"]
+)
+def test_arnold2013_remaining_subjects_marker_fitter_golden(subject):
+    """The rest of the reference's Arnold2013Synthetic battery
+    (test_Arnold2013Synthetic_MarkerFitter.cpp:435-463: subjects 01, 02,
+    04, 18, 19 — subject01 is covered above), at the reference's own
+    acceptance thresholds (:359-377): average per-dof pose error < 0.05
+    and average marker RMSE < 0.01 m."""
+    avg_pose_err, rmse, res = _run_subject(subject)
+    assert avg_pose_err < 0.05, f"{subject}: avg per-dof pose error {avg_pose_err}"
+    assert rmse < 0.01, f"{subject}: marker RMSE {rmse}"
+    s = np.asarray(res.scales)
+    assert (s > 0.7).all() and (s < 1.4).all()
