@@ -53,7 +53,29 @@ def _box_corners(params: jax.Array) -> jax.Array:
     return signs * half
 
 
+# Round shapes without a dedicated narrow phase for some partner kind
+# degrade to their bounding capsule (params share the [r, h] z-axis
+# convention) instead of silently getting zero contact slots — the pre-r3
+# behavior the parsers relied on when they aliased cylinder->capsule
+# (advisor r3 medium).
+_CAPSULE_FALLBACK_KINDS = ("cylinder", "cone")
+
+
+def _capsule_fallback(kind_a: str, kind_b: str) -> Tuple[str, str]:
+    """Effective kinds after the bounding-capsule fallback, or the pair
+    unchanged when a dedicated routine exists."""
+    if _num_slots_table(kind_a, kind_b) > 0:
+        return kind_a, kind_b
+    fa = "capsule" if kind_a in _CAPSULE_FALLBACK_KINDS else kind_a
+    fb = "capsule" if kind_b in _CAPSULE_FALLBACK_KINDS else kind_b
+    return fa, fb
+
+
 def _num_slots(kind_a: str, kind_b: str) -> int:
+    return _num_slots_table(*_capsule_fallback(kind_a, kind_b))
+
+
+def _num_slots_table(kind_a: str, kind_b: str) -> int:
     pair = (kind_a, kind_b)
     table = {
         ("sphere", "halfspace"): 1,
@@ -167,8 +189,13 @@ def detect_contacts(model: Model, T_wb: List[Transform]) -> ContactSlots:
 
 
 def _narrow_phase(sa: ShapeSpec, sb: ShapeSpec, Ta: Transform, Tb: Transform):
-    """Dispatch on (static) kinds; returns lists of (point, normal, depth)."""
-    kind_a, kind_b, pa, pb = sa.kind, sb.kind, sa.params, sb.params
+    """Dispatch on (static) kinds; returns lists of (point, normal, depth).
+
+    Cylinder/cone pairs without a dedicated routine dispatch as their
+    bounding capsules (`_capsule_fallback`) so such pairs degrade to the
+    capsule approximation rather than passing through each other."""
+    pa, pb = sa.params, sb.params
+    kind_a, kind_b = _capsule_fallback(sa.kind, sb.kind)
     if (kind_a, kind_b) == ("sphere", "halfspace"):
         return _sphere_halfspace(pa, pb, Ta, Tb)
     if (kind_a, kind_b) == ("box", "halfspace"):
@@ -608,8 +635,17 @@ def _sphere_cone(pa, pb, Ta, Tb):
     closest = dirxy * c2[0] + ez * c2[1]
     delta = c - closest
     dist = jnp.sqrt(jnp.maximum(jnp.dot(delta, delta), 1e-18))
-    n = Tb.rotate(delta / dist)
-    depth = r_s - dist
+    # center-inside handling (advisor r3): inside the solid, delta points
+    # INTO the cone — flip the normal and report full penetration
+    # r_s + dist, mirroring _sphere_cylinder's inside branch.  Inside test
+    # in (radial, axial) coords: above the base plane and below the
+    # lateral edge rad <= r_c * (h/2 - z) / h.
+    inside = (c[2] > -h_c / 2.0) & (
+        rad <= r_c * (h_c / 2.0 - c[2]) / jnp.maximum(h_c, 1e-18)
+    )
+    sgn = jnp.where(inside, -1.0, 1.0)
+    n = Tb.rotate(sgn * delta / dist)
+    depth = jnp.where(inside, r_s + dist, r_s - dist)
     point = Tb.apply(closest)
     return [point], [n], [depth]
 

@@ -120,20 +120,30 @@ def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array) -> jax.Array:
     def matvec(p):
         return mv(QfT, mv(Qf, p)) + reg * p
 
+    # Jacobi-preconditioned CG (advisor r3): "exact in <= m steps" only
+    # holds in exact arithmetic — in f32 with cond(QfᵀQf) up to ~1/eps,
+    # plain CG at m+6 iterations can leave real residual on ill-
+    # conditioned coplanar-contact systems. diag(QfᵀQf) + reg is cheap,
+    # elementwise (lane-kernel safe), and restores the convergence margin
+    # (asserted against solve_spd in tests/test_frozen_contact.py).
+    diagM = jnp.sum(Qf * Qf, axis=-2) + reg
+
     def cg_solve(mv_fn, bb):
         x = jnp.zeros_like(bb)
         r = bb
-        p = r
-        rs = jnp.sum(r * r, axis=-1)
+        z = r / diagM
+        p = z
+        rz = jnp.sum(r * z, axis=-1)
         tiny = jnp.asarray(1e-30, dtype)
-        for _ in range(m + 6):   # CG is exact in <= m steps on SPD
+        for _ in range(m + 6):   # PCG is exact in <= m steps on SPD
             Ap = mv_fn(p)
-            alpha = rs / (jnp.sum(p * Ap, axis=-1) + tiny)
+            alpha = rz / (jnp.sum(p * Ap, axis=-1) + tiny)
             x = x + alpha[..., None] * p
             r = r - alpha[..., None] * Ap
-            rs_new = jnp.sum(r * r, axis=-1)
-            p = r + (rs_new / (rs + tiny))[..., None] * p
-            rs = rs_new
+            z = r / diagM
+            rz_new = jnp.sum(r * z, axis=-1)
+            p = z + (rz_new / (rz + tiny))[..., None] * p
+            rz = rz_new
         return x
 
     bvec = mv(QfT, rhs)

@@ -200,12 +200,20 @@ def lane_flops(closed) -> int:
     def walk(jx) -> int:
         n = 0
         for eqn in jx.eqns:
+            has_sub = False
             for p in eqn.params.values():
                 sub = getattr(p, "jaxpr", None)
                 if sub is not None and hasattr(sub, "eqns"):
                     n += walk(sub)
+                    has_sub = True
                 elif hasattr(p, "eqns"):
                     n += walk(p)
+                    has_sub = True
+            if has_sub:
+                # call-style eqn: the sub-jaxpr walk already counted the
+                # eqns producing these outputs — counting the call's own
+                # outvars too would double-count (advisor r3)
+                continue
             for ov in eqn.outvars:
                 if hasattr(ov, "aval"):
                     n += max(1, int(np.prod(ov.aval.shape)))
@@ -323,6 +331,12 @@ def _bcast(val: jax.Array, batched: bool, bt: Tuple[int, ...]) -> jax.Array:
             return jax.lax.full(bt, a.item(), a.dtype)
         rows = [jax.lax.full(bt, x.item(), a.dtype) for x in a.ravel()]
         return jnp.stack(rows).reshape(a.shape + bt)
+    if val.dtype == jnp.bool_:
+        # Mosaic can't insert a minor dim on i1 vectors ("Insertion of
+        # minor dim that is not a no-op only supported for 32-bit
+        # types"); broadcast through i32 and compare back.
+        iv = jax.lax.convert_element_type(val, jnp.int32)
+        return _bcast(iv, False, bt) != 0
     if nbt == 1:
         return jnp.broadcast_to(val[..., None], val.shape + bt)
     # nbt == 2: Mosaic rejects direct rank+2 broadcasts of tiny traced

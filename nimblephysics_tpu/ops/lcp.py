@@ -48,6 +48,15 @@ _BIG = 1e20
 CLAMPING_THRESHOLD = 1e-6
 
 
+def _pinv_rtol(dtype):
+    """Dtype-scaled pseudoinverse truncation (advisor r3): singular values
+    at the dtype's noise floor (~eps·sigma_max) must be truncated, not
+    inverted — mirroring this file's eps convention for the regularized
+    solves. 1e-12 for f64; ~3e-6 (a few ULPs above eps) for f32, the TPU
+    bench dtype."""
+    return 1e-12 if dtype == jnp.float64 else 3e-6
+
+
 def _bounds(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
     """Current bounds given friction coupling (findex static)."""
     m = len(findex)
@@ -232,7 +241,11 @@ def direct_boxed_solve(
         # the pseudoinverse keeps iterates bounded (the role the
         # reference's complete orthogonal decomposition plays,
         # BackpropSnapshot.cpp:2755).
-        x_int = jnp.linalg.pinv(Af, rtol=1e-12) @ rhs
+        # rtol must scale with dtype: f32 singular values carry ~1e-7
+        # relative noise (advisor r3) — a 1e-12 cutoff never truncates
+        # them and the pseudoinverse amplifies rounding noise on exactly
+        # the rank-deficient blocks this valve exists to bound.
+        x_int = jnp.linalg.pinv(Af, rtol=_pinv_rtol(dtype)) @ rhs
         x_new = x_int * i_mask + x_bound
         # reclassify: interior rows outside the box go to the boundary;
         # boundary rows with complementarity-violating w come back inside
@@ -426,6 +439,6 @@ def _boxed_lcp_jvp(findex, iters, method, primals, tangents):
         # tests/test_parity_lcp_grad.py). pinv(Qf) depends only on the
         # PRIMAL Qf, so dx stays linear in the tangents and the rule
         # transposes for reverse mode.
-        dx_C = jnp.linalg.pinv(Qf, rtol=1e-10) @ rhs
+        dx_C = jnp.linalg.pinv(Qf, rtol=_pinv_rtol(dtype)) @ rhs
     dx = R @ (cmask * dx_C)
     return x, dx

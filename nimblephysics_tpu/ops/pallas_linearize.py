@@ -215,3 +215,160 @@ def linearize_pallas(
     fx = jnp.swapaxes(cols[:, :, :nx, :], 2, 3)   # (B, T, nx, nx)
     fu = jnp.swapaxes(cols[:, :, nx:, :], 2, 3)   # (B, T, nx, na)
     return fx, fu
+
+
+_SPLIT_CACHE: dict = {}
+
+
+def _split_fn_for(model: Model, m_cl: int, nx: int, na: int, dtype):
+    """Build (and cache per model id) the SplitJVPFn of the frozen-contact
+    step JVP. Tracing + splitting is host-side Python work (~seconds for
+    the bench models); the cache keys on the model object id like jit."""
+    from nimblephysics_tpu.ops.jvp_split import SplitJVPFn
+
+    key = (id(model), m_cl, nx, na, jnp.dtype(dtype).name)
+    hit = _SPLIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dynf = dyn_frozen_for_trace(model)
+
+    def jvp_fn(x, uu, cm, usv, dx, du):
+        _, t = jax.jvp(
+            lambda a, b: dynf(a, b, cm, usv), (x, uu), (dx, du)
+        )
+        return t
+
+    z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
+    sf = SplitJVPFn(jvp_fn, (z(nx), z(na), z(m_cl), z(m_cl), z(nx), z(na)),
+                    n_tangent=2)
+    _SPLIT_CACHE[key] = sf
+    return sf
+
+
+def linearize_pallas_split(
+    model: Model,
+    xs: jax.Array,      # (B, T, nx) pre-step states
+    u: jax.Array,       # (B, T, na)
+    classes,            # (cmask, us) each (B, T, m): frozen contact classes
+    block_b: int = 512,
+    interpret: bool = None,
+    vmem_budget: int = 4_000_000,
+) -> Tuple[jax.Array, jax.Array]:
+    """(fx, fu) via the primal/tangent kernel split (`ops/jvp_split.py`).
+
+    Kernel A (primal) runs once per trajectory POINT (lanes = B*T) and
+    writes the packed per-point boundary tensor; kernel B (tangent) walks
+    the K = nx+na basis directions as a second grid dimension over the
+    same point blocks — the boundary block index is unchanged across the
+    inner K steps, so Pallas fetches each block from HBM once.  This is
+    the round-3 measured plan (NOTES_ROUND3.md): it removes the K-fold
+    primal redundancy AND keeps each kernel inside the Mosaic compile
+    envelope that the monolithic frozen-step JVP kernel exceeds.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, nx = xs.shape
+    na = u.shape[-1]
+    dtype = xs.dtype
+    m_cl = classes[0].shape[-1]
+    sf = _split_fn_for(model, m_cl, nx, na, dtype)
+
+    from nimblephysics_tpu.ops.lanevmap import fit_block
+    nb = sf.n_boundary_f32
+    # VMEM budget: the live lane set of the bigger half plus the packed
+    # boundary block (double-buffered by the pipeline). The bench configs
+    # raise the scoped-vmem cap to 64 MB; ~4M lane-values ≈ 24 MB at the
+    # empirical 6 B/value keeps headroom for the boundary block.
+    heavy = max(sf.n_eqns_primal, sf.n_eqns_tangent) + 2 * nb
+    block_b = fit_block(block_b, heavy, budget=vmem_budget)
+    block_b = max(128, (block_b // 128) * 128)
+    S_b = block_b // 128
+
+    N = B * T
+    N_pad = -(-N // block_b) * block_b
+    G = N_pad // block_b
+    bt = (S_b, 128)
+    K = nx + na
+
+    def lanes(a2):
+        aT = a2.T
+        if N_pad != N:
+            aT = jnp.pad(aT, ((0, 0), (0, N_pad - N)))
+        return aT.reshape(aT.shape[0], G, S_b, 128)
+
+    xT = lanes(xs.reshape(N, nx))
+    uT = lanes(u.reshape(N, na))
+    cmT = lanes(classes[0].reshape(N, m_cl))
+    usT = lanes(classes[1].reshape(N, m_cl))
+
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, 1, S_b, 128), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def primal_kernel(*refs):
+        const_refs = refs[:sf.n_consts]
+        x_r, u_r, cm_r, us_r, b_r = refs[sf.n_consts:]
+        args = [jax.lax.squeeze(r[...], (1,))
+                for r in (x_r, u_r, cm_r, us_r)]
+        packed = sf.call_primal([cr[...] for cr in const_refs], args, bt)
+        b_r[...] = jax.lax.expand_dims(packed, (1,))
+
+    bound = pl.pallas_call(
+        primal_kernel,
+        grid=(G,),
+        in_specs=[_const_spec(c) for c in sf.consts2d] +
+                 [lane_spec(nx), lane_spec(na), lane_spec(m_cl),
+                  lane_spec(m_cl)],
+        out_specs=lane_spec(nb),
+        out_shape=jax.ShapeDtypeStruct((nb, G, S_b, 128), jnp.float32),
+        interpret=interpret,
+    )(*sf.consts2d, xT, uT, cmT, usT)
+
+    # Basis directions packed (K, 8, 128) — one grid-indexed block of
+    # shape (1, 8, 128) per direction (the last-two dims must divide
+    # (8, 128); a bare (1, K) row fails the Mosaic block rule). Row k:
+    # sublane 0 carries dx = e_k[:nx], sublane 1 carries du = e_k[nx:].
+    basis = jnp.eye(K, dtype=dtype)
+    bas = jnp.zeros((K, 8, 128), dtype)
+    bas = bas.at[:, 0, :nx].set(basis[:, :nx])
+    bas = bas.at[:, 1, :na].set(basis[:, nx:])
+
+    def tangent_kernel(*refs):
+        const_refs = refs[:sf.n_consts]
+        b_r, bas_r, t_r = refs[sf.n_consts:]
+        packed = jax.lax.squeeze(b_r[...], (1,))
+        bb = bas_r[...]                 # (1, 8, 128)
+        dx = jax.lax.reshape(jax.lax.slice(bb, (0, 0, 0), (1, 1, nx)), (nx,))
+        du = jax.lax.reshape(jax.lax.slice(bb, (0, 1, 0), (1, 2, na)), (na,))
+        (t,) = sf.call_tangent(
+            [cr[...] for cr in const_refs], packed, (dx, du), bt
+        )
+        t_r[...] = jax.lax.expand_dims(t, (1, 2))
+
+    bound_spec = pl.BlockSpec(
+        (nb, 1, S_b, 128), lambda i, k: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bas_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i, k: (k, 0, 0), memory_space=pltpu.VMEM,
+    )
+    t_p = pl.pallas_call(
+        tangent_kernel,
+        grid=(G, K),
+        in_specs=[_const_spec(c) for c in sf.consts2d] +
+                 [bound_spec, bas_spec],
+        out_specs=pl.BlockSpec(
+            (nx, 1, 1, S_b, 128), lambda i, k: (0, i, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nx, G, K, S_b, 128), dtype),
+        interpret=interpret,
+    )(*sf.consts2d, bound, bas)
+
+    # t_p[c, i, k, s, l] = (J(point p) e_k)[c],  p = i*block + s*128 + l
+    cols = jnp.transpose(t_p, (1, 3, 4, 2, 0)).reshape(N_pad, K, nx)
+    cols = cols[:N].reshape(B, T, K, nx)
+    fx = jnp.swapaxes(cols[:, :, :nx, :], 2, 3)   # (B, T, nx, nx)
+    fu = jnp.swapaxes(cols[:, :, nx:, :], 2, 3)   # (B, T, nx, na)
+    return fx, fu

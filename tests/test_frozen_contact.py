@@ -187,3 +187,47 @@ def test_rollout_classes_mode_sequence_stable_at_rest(world):
     if total_slots(model) == 0:
         c = np.asarray(classes.cmask)
         assert (c[1:] == c[1]).all()
+
+
+def test_frozen_cg_f32_converges_on_ill_conditioned_system():
+    """Advisor r3: the fixed-iteration CG inside `solve_frozen` must still
+    converge in f32 on ill-conditioned coplanar-contact-like systems (the
+    TPU rollout dtype) — the Jacobi preconditioning exists for exactly
+    this. The assertable quantity is the RESIDUAL of the regularized
+    normal equations (backward error): the f32 solution itself carries an
+    irreducible cond(M)·eps_f32 ≈ 1e-1 forward-error bound at this
+    conditioning, which no solver can beat — converged PCG measures
+    ~5e-7 residual here, stalled unpreconditioned CG measures orders
+    more."""
+    from nimblephysics_tpu.ops.frozen_contact import FrozenClasses, solve_frozen
+
+    rng = np.random.default_rng(0)
+    m = 28
+    # Near-rank-deficient SPD delassus-like matrix (rank-6 + small ridge,
+    # the coplanar-contact structure): cond(QtQ + reg I) ~ 1.6e6 in f32.
+    G = rng.standard_normal((m, 6))
+    A64 = G @ G.T + 1e-4 * np.eye(m)
+    b64 = rng.standard_normal(m)
+    cmask = np.ones(m)  # all clamping: x == x_C, no reconstruction step
+    us = np.zeros(m)
+    gov = np.zeros((m, m))
+
+    x32 = np.asarray(
+        solve_frozen(
+            jnp.asarray(A64, jnp.float32), jnp.asarray(b64, jnp.float32),
+            FrozenClasses(cmask=jnp.asarray(cmask, jnp.float32),
+                          us=jnp.asarray(us, jnp.float32)),
+            jnp.asarray(gov, jnp.float32),
+        ),
+        np.float64,
+    )
+
+    # the same regularized normal equations in f64 (eps matches the f32
+    # branch of solve_frozen so this is the system the kernel solves)
+    qs = max(np.abs(A64).max(), 1.0)
+    reg = 1e-5 * qs * qs
+    M = A64.T @ A64 + reg * np.eye(m)
+    bvec = A64.T @ b64
+    r = M @ x32 - bvec
+    rel = np.linalg.norm(r) / np.linalg.norm(bvec)
+    assert rel < 1e-5, f"f32 PCG residual {rel:.2e} (not converged)"

