@@ -208,6 +208,74 @@ class SplitJVPFn:
         for ov in jaxpr.outvars:  # primal outvars (none for a pure JVP)
             want(ov)
 
+        # --- boundary shrink: greedy rematerialization ------------------
+        # Move a primal eqn into the tangent program when recomputing it
+        # per direction passes FEWER floats across the kernel boundary
+        # than shipping its outputs (classic cut minimization on the
+        # primal DAG; e.g. an (m, m) matrix assembled from an (m,) vector
+        # ships m floats instead of m²). The primal kernel is untouched —
+        # call_primal's liveness filter drops newly-dead equations. Flops
+        # are the cheap resource here (the tangent kernel is HBM- and
+        # VMEM-bound); growth of the tangent program is capped so the
+        # Mosaic compile envelope that motivated the split is preserved.
+        def nel(v):
+            return int(np.prod(v.aval.shape))
+
+        t_ids = {id(e) for e in t_eqns}
+        producer = {}
+        for eqn in p_eqns:
+            for ov in eqn.outvars:
+                producer[ov] = eqn
+        bset = set(bound)
+        moved: set = set()
+        moved_eqns: List[Any] = []
+        max_moves = max(200, len(t_eqns) // 2)
+        for _ in range(4):  # passes until fixpoint (cascades upward)
+            changed = False
+            for eqn in reversed(p_eqns):
+                if id(eqn) in moved or len(moved_eqns) >= max_moves:
+                    continue
+                if eqn.primitive.name == "custom_linear_solve":
+                    continue  # never duplicate the primal solve
+                outs_in_b = [ov for ov in eqn.outvars if ov in bset]
+                if not outs_in_b:
+                    continue
+                gain = sum(nel(ov) for ov in outs_in_b)
+                need = []
+                for iv in eqn.invars:
+                    if isinstance(iv, Literal) or iv in bset or iv not in batched:
+                        continue
+                    pe = producer.get(iv)
+                    if pe is not None and id(pe) in moved:
+                        continue  # already recomputed tangent-side
+                    if iv not in need:
+                        need.append(iv)
+                cost = sum(nel(iv) for iv in need)
+                if gain <= cost:
+                    continue
+                for ov in outs_in_b:
+                    bset.discard(ov)
+                for iv in need:
+                    if nel(iv) > 0:
+                        bset.add(iv)
+                moved.add(id(eqn))
+                moved_eqns.append(eqn)
+                changed = True
+            if not changed:
+                break
+        if moved:
+            # boundary order: first appearance in the original eqn order
+            order = {}
+            for i, av in enumerate(jaxpr.invars):
+                order[av] = (-1, i)
+            for i, eqn in enumerate(jaxpr.eqns):
+                for j, ov in enumerate(eqn.outvars):
+                    order.setdefault(ov, (i, j))
+            bound = sorted(bset, key=lambda v: order[v])
+            t_eqns = [e for e in jaxpr.eqns
+                      if id(e) in moved or id(e) in t_ids]
+        self.n_moved = len(moved_eqns)
+
         def numel(v):
             return int(np.prod(v.aval.shape))
 
@@ -235,6 +303,19 @@ class SplitJVPFn:
     @property
     def n_consts(self) -> int:
         return len(self.consts2d)
+
+    def lane_flops_halves(self) -> Tuple[int, int]:
+        """(primal, tangent) lane-flop estimates per point / per (point,
+        direction) — the split-path analogue of `lanevmap.lane_flops`,
+        used by bench.py's utilization accounting."""
+        from nimblephysics_tpu.ops.lanevmap import lane_flops
+
+        class _C:
+            def __init__(self, eqns):
+                self.jaxpr = _JaxprView([], [], [], eqns)
+
+        return (lane_flops(_C(self.primal_view.eqns)),
+                lane_flops(_C(self.tangent_view.eqns)))
 
     # -- shared helpers ---------------------------------------------------
 

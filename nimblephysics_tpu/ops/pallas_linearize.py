@@ -223,25 +223,37 @@ _SPLIT_CACHE: dict = {}
 def _split_fn_for(model: Model, m_cl: int, nx: int, na: int, dtype):
     """Build (and cache per model id) the SplitJVPFn of the frozen-contact
     step JVP. Tracing + splitting is host-side Python work (~seconds for
-    the bench models); the cache keys on the model object id like jit."""
+    the bench models); the cache keys on the model object id like jit.
+    The cache entry holds a strong reference to the model: a GC'd model's
+    id can be REUSED by a new allocation, which would silently serve a
+    stale split for a different model (observed as an order-dependent
+    test failure)."""
     from nimblephysics_tpu.ops.jvp_split import SplitJVPFn
 
     key = (id(model), m_cl, nx, na, jnp.dtype(dtype).name)
     hit = _SPLIT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    dynf = dyn_frozen_for_trace(model)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    # Construction must happen OUTSIDE any ambient trace: both the
+    # dyn closure's constants (gov matrix) and hoist_unbatched's eager
+    # const-graph binds would otherwise be recorded as tracers of e.g.
+    # the iLQR scan trace, and this cache would leak them into every
+    # later trace (observed as UnexpectedTracerError).
+    with jax.ensure_compile_time_eval():
+        dynf = dyn_frozen_for_trace(model)
 
-    def jvp_fn(x, uu, cm, usv, dx, du):
-        _, t = jax.jvp(
-            lambda a, b: dynf(a, b, cm, usv), (x, uu), (dx, du)
+        def jvp_fn(x, uu, cm, usv, dx, du):
+            _, t = jax.jvp(
+                lambda a, b: dynf(a, b, cm, usv), (x, uu), (dx, du)
+            )
+            return t
+
+        z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
+        sf = SplitJVPFn(
+            jvp_fn, (z(nx), z(na), z(m_cl), z(m_cl), z(nx), z(na)),
+            n_tangent=2,
         )
-        return t
-
-    z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
-    sf = SplitJVPFn(jvp_fn, (z(nx), z(na), z(m_cl), z(m_cl), z(nx), z(na)),
-                    n_tangent=2)
-    _SPLIT_CACHE[key] = sf
+    _SPLIT_CACHE[key] = (model, sf)
     return sf
 
 
@@ -250,9 +262,9 @@ def linearize_pallas_split(
     xs: jax.Array,      # (B, T, nx) pre-step states
     u: jax.Array,       # (B, T, na)
     classes,            # (cmask, us) each (B, T, m): frozen contact classes
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: bool = None,
-    vmem_budget: int = 4_000_000,
+    vmem_budget: int = 24_000_000,
 ) -> Tuple[jax.Array, jax.Array]:
     """(fx, fu) via the primal/tangent kernel split (`ops/jvp_split.py`).
 
@@ -276,9 +288,11 @@ def linearize_pallas_split(
     from nimblephysics_tpu.ops.lanevmap import fit_block
     nb = sf.n_boundary_f32
     # VMEM budget: the live lane set of the bigger half plus the packed
-    # boundary block (double-buffered by the pipeline). The bench configs
-    # raise the scoped-vmem cap to 64 MB; ~4M lane-values ≈ 24 MB at the
-    # empirical 6 B/value keeps headroom for the boundary block.
+    # boundary block (double-buffered by the pipeline). The default
+    # budget assumes the caller raised the scoped-vmem cap to ~96 MB
+    # (compiler_options={"xla_tpu_scoped_vmem_limit_kib": 98304}, as
+    # bench.py does) — both bench contact configs measured OK at
+    # block 1024 under it (heavy ≈ 20k values/lane for the cheetah).
     heavy = max(sf.n_eqns_primal, sf.n_eqns_tangent) + 2 * nb
     block_b = fit_block(block_b, heavy, budget=vmem_budget)
     block_b = max(128, (block_b // 128) * 128)

@@ -53,11 +53,18 @@ class ILQRConfig:
     #     dominates the solve.
     riccati: str = "sequential"
     # Linearization sweep in ilqr_solve_batch:
-    #   "auto": the fused lane-batched Pallas kernel
-    #     (ops/pallas_linearize.py) when the model is contact-free —
-    #     measured ~4x faster than the XLA jacfwd sweep at B=1024, H=100
-    #     AND ~1e4x closer to float64 (the XLA TPU path's transcendentals
-    #     are low-precision); falls back to XLA jacfwd otherwise.
+    #   "auto": contact-free models use the fused lane-batched JVP kernel
+    #     (ops/pallas_linearize.py) — measured ~4x faster than the XLA
+    #     jacfwd sweep at B=1024, H=100 AND ~1e4x closer to float64 (the
+    #     XLA TPU path's transcendentals are low-precision). Frozen-
+    #     contact models use the round-4 primal/tangent SPLIT kernels
+    #     (linearize_pallas_split): the monolithic frozen-step JVP
+    #     exceeds the Mosaic compile envelope at bench LCP sizes, the
+    #     split halves compile and run ~8-20x faster than the hybrid
+    #     jacfwd lane. NOTE: at the default block sizes the split path
+    #     needs the scoped-vmem cap raised (jit(..., compiler_options=
+    #     {"xla_tpu_scoped_vmem_limit_kib": 98304}) as bench.py does).
+    #   "jvp": force the monolithic JVP lane kernel (contact too).
     #   "xla": always the vmapped jacfwd sweep.
     linearize: str = "auto"
     # Line-search rollout sweep in ilqr_solve_batch:
@@ -559,12 +566,21 @@ def ilqr_solve_batch(
     from nimblephysics_tpu.ops.contact import lcp_dim
 
     can_fuse = na > 0 and (lcp_dim(model) == 0 or classes is not None)
-    fused_lin = config.linearize == "auto" and can_fuse
+    fused_lin = config.linearize in ("auto", "jvp") and can_fuse
     fused = config.rollout == "auto" and can_fuse
     cl_kernel = None if classes is None else cl_bt
     if fused:
         from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
-    if fused_lin:
+    if fused_lin and classes is not None and config.linearize == "auto":
+        from nimblephysics_tpu.ops.pallas_linearize import (
+            linearize_pallas_split,
+        )
+
+        def dyn_jac(xs_bt, u_bt):
+            return linearize_pallas_split(
+                model, xs_bt, u_bt, cl_kernel, block_b=block_b
+            )
+    elif fused_lin:
         from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
 
         def dyn_jac(xs_bt, u_bt):
