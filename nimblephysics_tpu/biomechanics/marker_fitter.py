@@ -98,6 +98,176 @@ def sequential_ik_track(
     return q_track
 
 
+class BilevelFitResult(NamedTuple):
+    scales: jax.Array        # (nb, 3)
+    offsets: jax.Array       # (n_markers, 3) fitted marker offsets
+    poses: jax.Array         # (n_trials, T, nq) inner-IK poses
+    loss_history: jax.Array  # (outer_iters,)
+    marker_rmse: jax.Array
+
+
+def fit_markers_bilevel(
+    model: Model,
+    markers: MarkerSet,
+    trials,                              # (T,nm,3) or list of (T_i,nm,3)
+    masks=None,                          # matching (T,nm) bool per trial
+    q_inits=None,                        # matching (T,nq) per trial
+    outer_iters: int = 150,
+    inner_gn_iters: int = 4,
+    lr: float = 3e-2,
+    scale_bounds: tuple = (0.7, 1.4),
+    regularize_offsets: float = 1.0,
+    regularize_scales: float = 1e-3,
+    scale_prior=None,
+    final_inner_iters: int = 12,
+) -> BilevelFitResult:
+    """TRUE bilevel marker fit — the reference MarkerFitter's structure
+    (MarkerFitter.hpp:625-900): an OUTER optimization over the subject-
+    level variables (body scales + marker offsets) whose objective is
+    evaluated at the INNER argmin — per-frame IK poses solved for every
+    outer iterate — rather than the joint {scales, offsets, poses}
+    first-order solve of `fit_markers`.
+
+    TPU-first factoring of the same structure:
+      * inner solver: damped Gauss-Newton IK, vmapped over every frame of
+        every trial at once (the reference's per-frame IPOPT/Newton
+        thread pool becomes one batched kernel), warm-started from the
+        previous outer iterate's poses;
+      * outer gradient: by the envelope theorem, at an inner optimum
+        ∂q*/∂θ contributes nothing to dL/dθ (∂L/∂q = 0), so the outer
+        step differentiates the marker loss wrt (scales, offsets) at
+        frozen poses — exactly the reduced gradient the reference's
+        bilevel IPOPT formulation uses, with no unrolled-inner AD;
+      * multi-trial: trials are padded to a common length and batched; a
+        single (scales, offsets) serves all trials (the reference's
+        multi-trial kinematics pipeline).
+    """
+    if not isinstance(trials, (list, tuple)):
+        trials = [trials]
+    n_trials = len(trials)
+    dtype = model.mass.dtype
+    nm = len(markers.names)
+    nq, nb = model.nq, model.num_bodies
+    T_max = max(t.shape[0] for t in trials)
+
+    obs = jnp.zeros((n_trials, T_max, nm, 3), dtype)
+    w = jnp.zeros((n_trials, T_max, nm, 1), dtype)
+    for i, tr in enumerate(trials):
+        tr = jnp.asarray(tr, dtype)
+        Ti = tr.shape[0]
+        mk = (jnp.ones((Ti, nm), bool) if masks is None or masks[i] is None
+              else jnp.asarray(masks[i], bool))
+        obs = obs.at[i, :Ti].set(jnp.nan_to_num(tr))
+        w = w.at[i, :Ti].set(mk.astype(dtype)[..., None])
+
+    lo_s, hi_s = jnp.log(scale_bounds[0]), jnp.log(scale_bounds[1])
+
+    def build(theta):
+        scales = jnp.exp(jnp.clip(theta["log_scales"], lo_s, hi_s))
+        m2 = scale_bodies(model, scales)
+        mk_s = markers.scaled(scales)
+        mk2 = mk_s.with_offsets(mk_s.offsets + theta["d_offsets"])
+        return m2, mk2, scales
+
+    # ---- inner solver: batched per-frame GN IK at fixed theta ---------
+    def inner_solve(theta, poses, n_iters):
+        m2, mk2, _ = build(theta)
+        flat_q = poses.reshape(n_trials * T_max, nq)
+        flat_o = obs.reshape(n_trials * T_max, nm, 3)
+        flat_w = w.reshape(n_trials * T_max, nm, 1)
+        q2 = jax.vmap(
+            lambda q0, o, ww: _gn_frame(m2, mk2, q0, o, ww, n_iters)
+        )(flat_q, flat_o, flat_w)
+        return q2.reshape(n_trials, T_max, nq)
+
+    def outer_loss(theta, poses):
+        m2, mk2, scales = build(theta)
+        pred = jax.vmap(jax.vmap(
+            lambda q: marker_world_positions(m2, mk2, q)
+        ))(poses)
+        err = (pred - obs) * w
+        data = jnp.sum(err * err) / jnp.maximum(jnp.sum(w), 1.0)
+        reg = regularize_offsets * jnp.mean(theta["d_offsets"] ** 2)
+        reg += regularize_scales * jnp.mean(theta["log_scales"] ** 2)
+        if scale_prior is not None:
+            reg += -1e-3 * scale_prior.log_pdf(scales)
+        return data + reg
+
+    # ---- initial inner poses: sequential tracking per trial -----------
+    if q_inits is None:
+        poses0 = jnp.stack([
+            sequential_ik_track(
+                model, markers, obs[i], w[i], jnp.zeros(nq, dtype)
+            )
+            for i in range(n_trials)
+        ])
+    else:
+        poses0 = jnp.stack([jnp.asarray(q, dtype) for q in q_inits])
+
+    theta0 = dict(
+        log_scales=jnp.zeros((nb, 3), dtype),
+        d_offsets=jnp.zeros((nm, 3), dtype),
+    )
+    opt = optax.adam(optax.cosine_decay_schedule(lr, outer_iters, alpha=0.1))
+
+    def outer_step(carry, _):
+        theta, poses, opt_state = carry
+        # inner argmin (warm-started); envelope theorem: freeze poses
+        poses = jax.lax.stop_gradient(
+            inner_solve(theta, poses, inner_gn_iters)
+        )
+        val, g = jax.value_and_grad(outer_loss)(theta, poses)
+        updates, opt_state = opt.update(g, opt_state, theta)
+        return (optax.apply_updates(theta, updates), poses, opt_state), val
+
+    (theta, poses, _), hist = jax.lax.scan(
+        outer_step, (theta0, poses0, opt.init(theta0)), None,
+        length=outer_iters,
+    )
+    # final tight inner solve on the fitted subject geometry
+    poses = inner_solve(theta, poses, final_inner_iters)
+
+    m2, mk2, scales = build(theta)
+    pred = jax.vmap(jax.vmap(
+        lambda q: marker_world_positions(m2, mk2, q)
+    ))(poses)
+    err = (pred - obs) * w
+    rmse = jnp.sqrt(jnp.sum(err * err) / jnp.maximum(jnp.sum(w), 1.0))
+    return BilevelFitResult(
+        scales=scales,
+        offsets=mk2.offsets,
+        poses=poses,
+        loss_history=hist,
+        marker_rmse=rmse,
+    )
+
+
+def find_joint_centers(
+    model: Model,
+    markers: MarkerSet,
+    observed,
+    mask=None,
+):
+    """Closed-form joint-center estimation from marker clouds (reference
+    MarkerFitter::findJointCenters, MarkerFitter.hpp:760) — delegates to
+    the IKInitializer's center-of-rotation least squares. Returns
+    (centers_world (T, nb, 3) with nan where unobserved, valid (nb,))."""
+    from nimblephysics_tpu.biomechanics.ik_initializer import (
+        body_cluster_poses,
+        closed_form_joint_centers,
+    )
+    import numpy as np
+
+    observed = np.asarray(observed, np.float64)
+    if mask is None:
+        mask = ~np.any(np.isnan(observed), axis=-1)
+    clusters = body_cluster_poses(
+        model, markers, np.nan_to_num(observed), np.asarray(mask, bool)
+    )
+    centers, jvalid, _, _ = closed_form_joint_centers(model, clusters)
+    return centers, jvalid
+
+
 def fit_markers(
     model: Model,
     markers: MarkerSet,

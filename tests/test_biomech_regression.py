@@ -81,3 +81,87 @@ def test_arnold2013_remaining_subjects_marker_fitter_golden(subject):
     assert rmse < 0.01, f"{subject}: marker RMSE {rmse}"
     s = np.asarray(res.scales)
     assert (s > 0.7).all() and (s < 1.4).all()
+
+
+def _marker_subset(mocap, labels):
+    """Reorder/filter observation columns to the model's marker set."""
+    from nimblephysics_tpu.biomechanics.markers import MarkerSet
+
+    markers = mocap.markers
+    order = {n: i for i, n in enumerate(labels)}
+    keep = [j for j, n in enumerate(markers.names) if n in order]
+    colidx = [order[markers.names[j]] for j in keep]
+    mk = MarkerSet(
+        names=tuple(markers.names[j] for j in keep),
+        body_indices=tuple(markers.body_indices[j] for j in keep),
+        offsets=markers.offsets[jnp.asarray(keep)],
+    )
+    return mk, colidx
+
+
+def _dof_errors(model, poses, cols, gold_t):
+    col_map = {c: i for i, c in enumerate(cols)}
+    errs = []
+    for i, name in enumerate(model.dof_names):
+        if name in col_map:
+            errs.append(
+                np.abs(np.asarray(poses[:, i]) - gold_t[:, col_map[name]]).mean()
+            )
+    return float(np.mean(errs))
+
+
+@needs_data
+def test_arnold2013_subject01_ik_initializer_golden():
+    """The reference's IKInitializer regression
+    (test_Arnold2013Synthetic_IKInitializer.cpp:167): run the closed-form
+    pipeline (cluster poses -> joint centers -> scales -> sequential IK)
+    on subject01 walk2 with the UNSCALED generic model + subject height,
+    and require average per-dof pose error < 0.06 against the golden
+    coordinates (the reference's unknown-scales threshold)."""
+    from nimblephysics_tpu.biomechanics.ik_initializer import run_ik_initializer
+
+    sub, height = "subject01", 1.808  # test main :396
+    _, labels, pts, mask = load_trc(f"{DATA}/{sub}/trials/walk2/markers.trc")
+    cols, gold = load_mot(f"{DATA}/{sub}/coordinates.sto")
+    T = min(pts.shape[0], gold.shape[0])
+    stride = 6
+    mocap = MarkerMocap.from_osim(f"{DATA}/unscaled_generic.osim")
+    mk, colidx = _marker_subset(mocap, labels)
+    res = run_ik_initializer(
+        mocap.model, mk, pts[:T:stride][:, colidx],
+        mask[:T:stride][:, colidx], height_m=height,
+    )
+    err = _dof_errors(mocap.model, res.poses, cols, gold[:T:stride])
+    assert err < 0.06, f"IKInitializer avg per-dof pose error {err}"
+    # closed-form joint centers must exist for the marker-rich limb chain
+    assert int(res.joint_valid.sum()) >= 5
+    # scales physical
+    assert (res.scales > 0.5).all() and (res.scales < 2.0).all()
+
+
+@needs_data
+def test_arnold2013_subject01_bilevel_marker_fitter_golden():
+    """The bilevel MarkerFitter structure (outer scales/offsets, inner
+    per-frame GN IK — MarkerFitter.hpp:625-900) must reach the same
+    Arnold2013 acceptance thresholds as the joint solve: avg per-dof pose
+    error < 0.05, marker RMSE < 0.01 (synthetic noiseless: < 2e-3)."""
+    from nimblephysics_tpu.biomechanics.marker_fitter import fit_markers_bilevel
+
+    sub = "subject01"
+    _, labels, pts, mask = load_trc(f"{DATA}/{sub}/trials/walk2/markers.trc")
+    cols, gold = load_mot(f"{DATA}/{sub}/coordinates.sto")
+    T = min(pts.shape[0], gold.shape[0])
+    stride = 6
+    mocap = MarkerMocap.from_osim(f"{DATA}/unscaled_generic.osim")
+    mk, colidx = _marker_subset(mocap, labels)
+    import jax
+
+    res = jax.jit(
+        lambda o, m: fit_markers_bilevel(mocap.model, mk, o, [m])
+    )(jnp.asarray(pts[:T:stride][:, colidx]),
+      jnp.asarray(mask[:T:stride][:, colidx]))
+    err = _dof_errors(mocap.model, res.poses[0], cols, gold[:T:stride])
+    assert err < 0.05, f"bilevel avg per-dof pose error {err}"
+    assert float(res.marker_rmse) < 2e-3, f"rmse {float(res.marker_rmse)}"
+    s = np.asarray(res.scales)
+    assert (s > 0.7).all() and (s < 1.4).all()
