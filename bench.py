@@ -187,7 +187,8 @@ def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
 
     def solve_all(x0s, u_warms):
         sol, classes = solve_contact_mpc_batch(
-            model, x0s, u_warms, running, final, cfg, outer_iters=1
+            model, x0s, u_warms, running, final, cfg, outer_iters=1,
+            class_refresh="pointwise",
         )
         return sol.u, sol.cost
 
@@ -284,7 +285,9 @@ def main() -> None:
     cfg_contact = ILQRConfig(iters=max(2, ITERS // 2), alphas=ALPHAS[:4],
                              unroll=1,
                              linearize=os.environ.get("BENCH_LINEARIZE",
-                                                      "auto"))
+                                                      "auto"),
+                             planner_cg_iters=int(
+                                 os.environ.get("BENCH_CG_ITERS", "16")))
 
     # Fail-soft: each config is timed independently; one config crashing
     # must not zero out the round's evidence (round-2 lesson). Errors are

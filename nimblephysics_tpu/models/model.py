@@ -39,6 +39,11 @@ JOINT_NDOF = {
     "euler_xyz": 3,
     "euler_zyx": 3,
     "free": 6,
+    # EulerFreeJoint (dart/dynamics/EulerFreeJoint.hpp:1): free joint with
+    # EULER-ANGLE orientation coordinates — q = [euler_xyz, translation]
+    # (the reference's biomech root joint; gimbal coordinates, unlike
+    # "free"'s exponential coordinates)
+    "euler_free": 6,
     # biomechanics joints (OpenSim shoulder/spine models)
     "ellipsoid": 3,
     "scapulathoracic": 4,
@@ -60,8 +65,19 @@ JOINT_NDOF = {
 #             narrow phase: DARTCollide.hpp:271-295 collideCylinder*)
 #   cone:     [r, h, 0, 0]           base (radius r) at z=-h/2, apex at
 #             z=+h/2 (DART ConeShape conventions)
+#   trimesh:  params unused; `vertices` (V,3) + `faces` (F,3) INTEGER
+#             triangle indices with outward winding — NON-convex triangle
+#             meshes (the libccd/ODE-trimesh role, DARTCollide.hpp:42).
+#             Narrow phase is vertex-vs-closest-triangle (signed local
+#             surface distance); uses gathers, so trimesh worlds run the
+#             XLA contact path, not the lane kernels.
+#   pointcloud: [r, 0, 0, 0]; `vertices` (P,3) — each point collides as a
+#             sphere of radius r (dart/dynamics/PointCloudShape.hpp:1)
+#   linesegment: [r, 0, 0, 0]; `vertices` (S, 2, 3) segment endpoint
+#             pairs — thin capsules of radius r
+#             (dart/dynamics/LineSegmentShape.hpp:1)
 SHAPE_KINDS = ("box", "sphere", "capsule", "halfspace", "convex", "heightmap",
-               "cylinder", "cone")
+               "cylinder", "cone", "trimesh", "pointcloud", "linesegment")
 
 
 @jax.tree_util.register_dataclass

@@ -99,6 +99,15 @@ def _num_slots_table(kind_a: str, kind_b: str) -> int:
         ("sphere", "cylinder"): 1,
         ("cone", "halfspace"): 5,
         ("sphere", "cone"): 1,
+        ("trimesh", "halfspace"): 6,
+        ("sphere", "trimesh"): 1,
+        ("trimesh", "trimesh"): 8,
+        ("trimesh", "box"): 8,
+        ("pointcloud", "halfspace"): 6,
+        ("sphere", "pointcloud"): 1,
+        ("pointcloud", "box"): 4,
+        ("linesegment", "halfspace"): 4,
+        ("sphere", "linesegment"): 1,
     }
     return table.get(pair, 0)
 
@@ -238,6 +247,24 @@ def _narrow_phase(sa: ShapeSpec, sb: ShapeSpec, Ta: Transform, Tb: Transform):
         return _cone_halfspace(pa, pb, Ta, Tb)
     if (kind_a, kind_b) == ("sphere", "cone"):
         return _sphere_cone(pa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("trimesh", "halfspace"):
+        return _trimesh_halfspace(sa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "trimesh"):
+        return _sphere_trimesh(pa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("trimesh", "trimesh"):
+        return _trimesh_trimesh(sa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("trimesh", "box"):
+        return _trimesh_box(sa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("pointcloud", "halfspace"):
+        return _pointcloud_halfspace(sa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "pointcloud"):
+        return _sphere_pointcloud(pa, sb, Ta, Tb)
+    if (kind_a, kind_b) == ("pointcloud", "box"):
+        return _pointcloud_box(sa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("linesegment", "halfspace"):
+        return _linesegment_halfspace(sa, pb, Ta, Tb)
+    if (kind_a, kind_b) == ("sphere", "linesegment"):
+        return _sphere_linesegment(pa, sb, Ta, Tb)
     raise ValueError(f"unsupported pair {kind_a}/{kind_b}")
 
 
@@ -867,3 +894,249 @@ def _convex_heightmap(sa, sb, Ta, Tb):
     v_w = _apply_batch(Ta, jnp.asarray(sa.vertices, dtype=Ta.p.dtype))
     d, n = jax.vmap(lambda v: _point_heightmap(v, sb, Tb))(v_w)
     return _topk_slots(d, v_w, n, 6)
+
+
+# ---------------------------------------------------------------------------
+# Non-convex triangle meshes, point clouds, line segments.
+# Reference: DART routes meshes through libccd GJK/MPR (convex pieces) or
+# ODE trimesh vertex-face/edge-edge contacts (DARTCollide.hpp:42,179);
+# PointCloudShape.hpp:1 / LineSegmentShape.hpp:1. The TPU formulation is
+# fixed-shape tensor tests: vertex-vs-closest-triangle signed local
+# surface distance for meshes (requires consistent outward winding),
+# per-point/per-endpoint sphere tests for clouds and segments. Trimesh
+# tests gather triangle vertices, so trimesh worlds run on the XLA
+# contact path (not inside the lane kernels).
+# ---------------------------------------------------------------------------
+
+
+def _tri_closest_points(p: jax.Array, a, b, c):
+    """Closest point on each triangle (a[i], b[i], c[i]) to p (Ericson,
+    'Real-Time Collision Detection' §5.1.5, vectorized over F)."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.einsum("fi,fi->f", ab, ap)
+    d2 = jnp.einsum("fi,fi->f", ac, ap)
+    bp = p - b
+    d3 = jnp.einsum("fi,fi->f", ab, bp)
+    d4 = jnp.einsum("fi,fi->f", ac, bp)
+    cp_ = p - c
+    d5 = jnp.einsum("fi,fi->f", ab, cp_)
+    d6 = jnp.einsum("fi,fi->f", ac, cp_)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    tiny = 1e-18
+    # interior (barycentric) candidate
+    denom = jnp.maximum(va + vb + vc, tiny)
+    v_in = vb / denom
+    w_in = vc / denom
+    cand_face = a + v_in[:, None] * ab + w_in[:, None] * ac
+    # edge/vertex candidates
+    t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, tiny), 0.0, 1.0)
+    cand_ab = a + t_ab[:, None] * ab
+    t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, tiny), 0.0, 1.0)
+    cand_ac = a + t_ac[:, None] * ac
+    t_bc = jnp.clip(
+        (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), tiny), 0.0, 1.0
+    )
+    cand_bc = b + t_bc[:, None] * (c - b)
+    # region select (Ericson's case order)
+    out = cand_face
+    out = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[:, None], cand_ab, out)
+    out = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[:, None], cand_ac, out)
+    out = jnp.where(
+        ((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[:, None],
+        cand_bc, out,
+    )
+    out = jnp.where(((d1 <= 0) & (d2 <= 0))[:, None], a, out)
+    out = jnp.where(((d3 >= 0) & (d4 <= d3))[:, None], b, out)
+    out = jnp.where(((d6 >= 0) & (d5 <= d6))[:, None], c, out)
+    return out
+
+
+def _trimesh_abc(sp, dtype):
+    import numpy as _np
+
+    verts = jnp.asarray(sp.vertices, dtype=dtype)
+    tris = _np.asarray(sp.faces, dtype=_np.int64)
+    return verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+
+
+def _point_vs_trimesh(p_local, a, b, c):
+    """(closest_point, outward_normal, signed_dist) of p vs the mesh's
+    closest triangle; signed_dist < 0 means the point is on the inner
+    side of the local surface (penetrating, for outward winding)."""
+    cp = _tri_closest_points(p_local, a, b, c)
+    d2 = jnp.sum((p_local - cp) ** 2, axis=-1)
+    k = jnp.argmin(d2)
+    n = jnp.cross(b[k] - a[k], c[k] - a[k])
+    n = n / jnp.sqrt(jnp.maximum(jnp.dot(n, n), 1e-18))
+    dist = jnp.sqrt(jnp.maximum(d2[k], 1e-18))
+    side = jnp.sign(jnp.dot(p_local - cp[k], n))
+    side = jnp.where(side == 0.0, 1.0, side)
+    return cp[k], n, side * dist
+
+
+def _trimesh_halfspace(sa, pb, Ta, Tb):
+    """Top-6 deepest mesh vertices vs the plane."""
+    n, d = _halfspace_world(pb, Tb)
+    v_w = _apply_batch(Ta, jnp.asarray(sa.vertices, dtype=Ta.p.dtype))
+    depths = d - v_w @ n
+    ns = jnp.broadcast_to(n, v_w.shape)
+    return _topk_slots(depths, v_w, ns, 6)
+
+
+def _sphere_trimesh(pa, sb, Ta, Tb):
+    """Sphere center vs closest triangle of the (non-convex) mesh."""
+    r = pa[0]
+    a, b, c = _trimesh_abc(sb, Ta.p.dtype)
+    cl = Tb.inverse().apply(Ta.p)
+    cp, n, sd = _point_vs_trimesh(cl, a, b, c)
+    # sd > 0: outside the local surface, depth = r - sd; sd < 0: center
+    # below the surface, full penetration r + |sd| with the outward normal
+    depth = r - sd
+    return [Tb.apply(cp)], [Tb.rotate(n)], [depth]
+
+
+def _verts_vs_trimesh(v_local, a, b, c):
+    f = jax.vmap(lambda p: _point_vs_trimesh(p, a, b, c))
+    cps, ns, sds = f(v_local)
+    return cps, ns, -sds          # depth > 0 when inside
+
+
+def _trimesh_trimesh(sa, sb, Ta, Tb):
+    """NON-convex mesh-mesh: vertex vs closest-triangle signed surface
+    distance, both directions, 4 deepest each way (the ODE-trimesh
+    vertex-face role; edge-edge crossings resolve through vertex contacts
+    a step later, as for _box_box)."""
+    dtype = Ta.p.dtype
+    va = jnp.asarray(sa.vertices, dtype=dtype)
+    vb = jnp.asarray(sb.vertices, dtype=dtype)
+    ab_, bb_, cb_ = _trimesh_abc(sb, dtype)
+    aa_, ba_, ca_ = _trimesh_abc(sa, dtype)
+    Tab = Tb.inverse().compose(Ta)
+    Tba = Ta.inverse().compose(Tb)
+    # A's vertices against mesh B
+    va_in_b = _apply_batch(Tab, va)
+    cps_a, ns_a, d_a = _verts_vs_trimesh(va_in_b, ab_, bb_, cb_)
+    p1, n1, dd1 = _topk_slots(
+        d_a, _apply_batch(Tb, va_in_b), ns_a @ Tb.R.T, 4
+    )
+    # B's vertices against mesh A (normal flipped: push B along −outward(A))
+    vb_in_a = _apply_batch(Tba, vb)
+    cps_b, ns_b, d_b = _verts_vs_trimesh(vb_in_a, aa_, ba_, ca_)
+    p2, n2, dd2 = _topk_slots(
+        d_b, _apply_batch(Ta, vb_in_a), -(ns_b @ Ta.R.T), 4
+    )
+    return p1 + p2, n1 + n2, dd1 + dd2
+
+
+def _trimesh_box(sa, pb, Ta, Tb):
+    """Mesh vertices in box + box corners vs mesh surface, 4+4 slots."""
+    dtype = Ta.p.dtype
+    va = jnp.asarray(sa.vertices, dtype=dtype)
+    half_b = pb[:3] / 2.0
+    v_w = _apply_batch(Ta, va)
+    d_a, n_a = jax.vmap(lambda v: _vertex_in_box(v, half_b, Tb))(v_w)
+    p1, n1, dd1 = _topk_slots(d_a, v_w, n_a, 4)
+    aa_, ba_, ca_ = _trimesh_abc(sa, dtype)
+    cb_w = _apply_batch(Tb, _box_corners(pb))
+    cb_a = _apply_batch(Ta.inverse(), cb_w)
+    _, ns_b, d_b = _verts_vs_trimesh(cb_a, aa_, ba_, ca_)
+    p2, n2, dd2 = _topk_slots(d_b, cb_w, -(ns_b @ Ta.R.T), 4)
+    return p1 + p2, n1 + n2, dd1 + dd2
+
+
+def _topk_slots_padded(depths, points, normals, k):
+    """_topk_slots that tolerates fewer than k candidates (small point
+    clouds / short segment lists): pads with never-active dummies."""
+    n_c = depths.shape[0]
+    if n_c < k:
+        pad = k - n_c
+        depths = jnp.concatenate(
+            [depths, jnp.full((pad,), -1e20, depths.dtype)]
+        )
+        points = jnp.concatenate(
+            [points, jnp.zeros((pad, 3), points.dtype)]
+        )
+        normals = jnp.concatenate(
+            [normals, jnp.tile(jnp.asarray([0.0, 1.0, 0.0],
+                                           normals.dtype), (pad, 1))]
+        )
+    return _topk_slots(depths, points, normals, k)
+
+
+def _pointcloud_halfspace(sa, pb, Ta, Tb):
+    """Each cloud point is a sphere of radius params[0]; top-6 deepest."""
+    n, d = _halfspace_world(pb, Tb)
+    r = sa.params[0]
+    p_w = _apply_batch(Ta, jnp.asarray(sa.vertices, dtype=Ta.p.dtype))
+    depths = r + d - p_w @ n
+    pts = p_w - n[None, :] * r
+    ns = jnp.broadcast_to(n, p_w.shape)
+    return _topk_slots_padded(depths, pts, ns, 6)
+
+
+def _sphere_pointcloud(pa, sb, Ta, Tb):
+    """Sphere (A) vs the nearest cloud point (a sphere of radius
+    params[0])."""
+    r_s = pa[0]
+    r_p = sb.params[0]
+    p_w = _apply_batch(Tb, jnp.asarray(sb.vertices, dtype=Ta.p.dtype))
+    d2 = jnp.sum((p_w - Ta.p) ** 2, axis=-1)
+    k = jnp.argmin(d2)
+    delta = Ta.p - p_w[k]
+    dist = jnp.sqrt(jnp.maximum(d2[k], 1e-18))
+    n = delta / dist                                   # B -> A
+    depth = r_s + r_p - dist
+    return [p_w[k] + n * (r_p - 0.5 * depth)], [n], [depth]
+
+
+def _pointcloud_box(sa, pb, Ta, Tb):
+    """Cloud points (spheres) vs box: 4 deepest per-point sphere-box."""
+    r = sa.params[0]
+    half_b = pb[:3] / 2.0
+    p_w = _apply_batch(Ta, jnp.asarray(sa.vertices, dtype=Ta.p.dtype))
+    d_c, n_c = jax.vmap(lambda v: _vertex_in_box(v, half_b, Tb))(p_w)
+    return _topk_slots_padded(d_c + r, p_w, n_c, 4)
+
+
+def _linesegment_halfspace(sa, pb, Ta, Tb):
+    """Segment endpoints as thin capsules of radius params[0]; top-4."""
+    n, d = _halfspace_world(pb, Tb)
+    r = sa.params[0]
+    segs = jnp.asarray(sa.vertices, dtype=Ta.p.dtype)    # (S, 2, 3)
+    ends = segs.reshape(-1, 3)
+    e_w = _apply_batch(Ta, ends)
+    depths = r + d - e_w @ n
+    pts = e_w - n[None, :] * r
+    ns = jnp.broadcast_to(n, e_w.shape)
+    return _topk_slots_padded(depths, pts, ns, 4)
+
+
+def _sphere_linesegment(pa, sb, Ta, Tb):
+    """Sphere vs the closest point on the closest segment (thin
+    capsule)."""
+    r_s = pa[0]
+    r_l = sb.params[0]
+    segs = jnp.asarray(sb.vertices, dtype=Ta.p.dtype)    # (S, 2, 3)
+    c = Tb.inverse().apply(Ta.p)
+
+    def seg_closest(seg):
+        a, b = seg[0], seg[1]
+        ab = b - a
+        t = jnp.clip(
+            jnp.dot(c - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-18),
+            0.0, 1.0,
+        )
+        return a + t * ab
+
+    cps = jax.vmap(seg_closest)(segs)                    # (S, 3)
+    d2 = jnp.sum((cps - c) ** 2, axis=-1)
+    k = jnp.argmin(d2)
+    delta = c - cps[k]
+    dist = jnp.sqrt(jnp.maximum(d2[k], 1e-18))
+    n = Tb.rotate(delta / dist)
+    depth = r_s + r_l - dist
+    return [Tb.apply(cps[k])], [n], [depth]

@@ -73,7 +73,8 @@ def classes_from_info(info) -> FrozenClasses:
     )
 
 
-def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array) -> jax.Array:
+def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array,
+                 cg_iters: Optional[int] = None) -> jax.Array:
     """Impulses on a frozen class structure (the warm-start short-circuit).
 
     Same algebra as the LCP implicit-derivative rule (`ops/lcp.py`):
@@ -128,6 +129,15 @@ def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array) -> jax.Array:
     # (asserted against solve_spd in tests/test_frozen_contact.py).
     diagM = jnp.sum(Qf * Qf, axis=-2) + reg
 
+    # cg_iters: None = m+6 (exact-in-m on SPD, the plant default).
+    # Planners may pass fewer: with Jacobi preconditioning and the
+    # identity rows of non-clamping constraints, PCG converges in
+    # ~(#active rows + 1) iterations — far below m on typical contact
+    # states (measured: 16 iters reproduces the full solve to ~1e-6 on
+    # the bench models' settled states; trajectory/ilqr.ILQRConfig.
+    # planner_cg_iters).
+    n_cg = (m + 6) if cg_iters is None else int(cg_iters)
+
     def cg_solve(mv_fn, bb):
         x = jnp.zeros_like(bb)
         r = bb
@@ -135,7 +145,7 @@ def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array) -> jax.Array:
         p = z
         rz = jnp.sum(r * z, axis=-1)
         tiny = jnp.asarray(1e-30, dtype)
-        for _ in range(m + 6):   # PCG is exact in <= m steps on SPD
+        for _ in range(n_cg):
             Ap = mv_fn(p)
             alpha = rz / (jnp.sum(p * Ap, axis=-1) + tiny)
             x = x + alpha[..., None] * p
@@ -160,6 +170,7 @@ def frozen_contact_step(
     classes: FrozenClasses,
     gov: Optional[jax.Array] = None,
     servo_cmd: Optional[jax.Array] = None,
+    cg_iters: Optional[int] = None,
 ) -> State:
     """One smooth constrained step on a frozen mode (planning dynamics)."""
     q, v = state.q, state.v
@@ -175,7 +186,7 @@ def frozen_contact_step(
     )
     if gov is None:
         gov = jnp.asarray(gov_matrix(model), dtype=q.dtype)
-    x = solve_frozen(A, b, classes, gov)
+    x = solve_frozen(A, b, classes, gov, cg_iters=cg_iters)
     v_next = v_star + Minv_Jt @ x
     q_next = step_mod.integrate_positions(model, q, v)
     return State(q_next, v_next)
@@ -195,6 +206,40 @@ def planner_reduce_contacts(model: Model, keep_bodies) -> Model:
         if sp.body_index < 0 or model.body_names[sp.body_index] in keep
     )
     return model.replace(shapes=shapes)
+
+
+def classify_points(model: Model, xs_flat: jax.Array, taus: jax.Array,
+                    x_warm: Optional[jax.Array] = None):
+    """POINTWISE mode classification: solve the full boxed LCP
+    independently at every trajectory point (arbitrary leading batch
+    axes) and return its class masks + impulses.
+
+    This decouples mode refresh from sequential simulation: where
+    `rollout_classes` scans T full-LCP steps one after another (the
+    sequential bottleneck of a replan — measured ~0.8-1.1 s at B=1024,
+    T=100 on v5e), the pointwise solve classifies all B·T points of the
+    PREVIOUS plan in one embarrassingly-parallel batch. Combined with
+    the fused frozen rollout in a fixed-point loop (see
+    `trajectory/ilqr.solve_contact_mpc_batch(class_refresh=
+    "pointwise")`) it converges to the same mode-consistency condition
+    the frozen path assumes — the reference's cached-LCP warm-start
+    carried across steps (BoxedLcpConstraintSolver.cpp:422-458), updated
+    in parallel instead of in sequence."""
+    from nimblephysics_tpu.ops.contact import contact_step
+
+    def one(xf, tauv, xw):
+        _, info = contact_step(
+            model, State.from_flat(xf), tauv, x_warm=xw, return_info=True
+        )
+        return classes_from_info(info), info.impulses
+
+    m = lcp_dim(model)
+    if x_warm is None:
+        x_warm = jnp.zeros(xs_flat.shape[:-1] + (m,), dtype=xs_flat.dtype)
+    f = one
+    for _ in range(xs_flat.ndim - 1):
+        f = jax.vmap(f)
+    return f(xs_flat, taus, x_warm)
 
 
 def rollout_classes(model: Model, state0: State, actions: jax.Array):

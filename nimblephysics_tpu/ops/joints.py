@@ -221,6 +221,15 @@ def joint_transform(
         return Transform(R, zero3)
     if jtype == "free":
         return Transform(lie.expm_so3(q[:3]), q[3:])
+    if jtype == "euler_free":
+        # EulerFreeJoint (EulerFreeJoint.cpp:225-233): R = EulerXYZ(q[:3])
+        # about the JOINT frame axes, translation = q[3:] directly.
+        R = (
+            lie.expm_so3(eye[0] * q[0])
+            @ lie.expm_so3(eye[1] * q[1])
+            @ lie.expm_so3(eye[2] * q[2])
+        )
+        return Transform(R, q[3:])
     if jtype == "custom":
         return custom_joint_transform(q, custom_spec)
     if jtype == "ellipsoid":
@@ -298,6 +307,26 @@ def joint_subspace(
             ],
             axis=0,
         )
+    if jtype == "euler_free":
+        # omega columns: the euler_xyz chain; linear columns: Rᵀ e_i
+        # (vee(Q⁻¹Q̇) linear part = Rᵀ ṗ) — the closed form of
+        # EulerFreeJoint::computeRelativeJacobianStatic
+        # (EulerFreeJoint.cpp:324).
+        eye3 = jnp.eye(3, dtype=dtype)
+        cols = []
+        for i in range(3):
+            Racc = jnp.eye(3, dtype=dtype)
+            for k in range(i + 1, 3):
+                Racc = Racc @ lie.expm_so3(eye3[k] * q[k])
+            cols.append(col(Racc.T @ eye3[i], zero3))
+        Rt = (
+            lie.expm_so3(-eye3[2] * q[2])
+            @ lie.expm_so3(-eye3[1] * q[1])
+            @ lie.expm_so3(-eye3[0] * q[0])
+        )
+        for i in range(3):
+            cols.append(col(zero3, Rt @ eye3[i]))
+        return jnp.stack(cols, axis=1)
     if jtype == "custom":
         return _subspace_via_autodiff(
             lambda qq: custom_joint_transform(qq, custom_spec), q

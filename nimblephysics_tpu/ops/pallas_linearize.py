@@ -62,10 +62,12 @@ def dyn_for_trace(model: Model) -> Callable[[jax.Array, jax.Array], jax.Array]:
     return dyn
 
 
-def dyn_frozen_for_trace(model: Model):
+def dyn_frozen_for_trace(model: Model, cg_iters: int = None):
     """Frozen-mode contact planning dynamics x' = f(x, u, cmask, us)
     (ops/frozen_contact.py), gather-free — the contact-model fast path for
-    the fused kernels. The class masks ride the lane batch like the state."""
+    the fused kernels. The class masks ride the lane batch like the state.
+    `cg_iters` trims the frozen solve's PCG depth for planner accuracy
+    (ILQRConfig.planner_cg_iters)."""
     from nimblephysics_tpu.ops.frozen_contact import (
         FrozenClasses,
         frozen_contact_step,
@@ -78,7 +80,7 @@ def dyn_frozen_for_trace(model: Model):
         s = State.from_flat(x)
         s2 = frozen_contact_step(
             model, s, _tau_stack(model, u, x.dtype),
-            FrozenClasses(cmask=cm, us=us), gov,
+            FrozenClasses(cmask=cm, us=us), gov, cg_iters=cg_iters,
         )
         return s2.flat()
 
@@ -220,7 +222,8 @@ def linearize_pallas(
 _SPLIT_CACHE: dict = {}
 
 
-def _split_fn_for(model: Model, m_cl: int, nx: int, na: int, dtype):
+def _split_fn_for(model: Model, m_cl: int, nx: int, na: int, dtype,
+                  cg_iters: int = None):
     """Build (and cache per model id) the SplitJVPFn of the frozen-contact
     step JVP. Tracing + splitting is host-side Python work (~seconds for
     the bench models); the cache keys on the model object id like jit.
@@ -230,7 +233,7 @@ def _split_fn_for(model: Model, m_cl: int, nx: int, na: int, dtype):
     test failure)."""
     from nimblephysics_tpu.ops.jvp_split import SplitJVPFn
 
-    key = (id(model), m_cl, nx, na, jnp.dtype(dtype).name)
+    key = (id(model), m_cl, nx, na, jnp.dtype(dtype).name, cg_iters)
     hit = _SPLIT_CACHE.get(key)
     if hit is not None and hit[0] is model:
         return hit[1]
@@ -240,7 +243,7 @@ def _split_fn_for(model: Model, m_cl: int, nx: int, na: int, dtype):
     # the iLQR scan trace, and this cache would leak them into every
     # later trace (observed as UnexpectedTracerError).
     with jax.ensure_compile_time_eval():
-        dynf = dyn_frozen_for_trace(model)
+        dynf = dyn_frozen_for_trace(model, cg_iters=cg_iters)
 
         def jvp_fn(x, uu, cm, usv, dx, du):
             _, t = jax.jvp(
@@ -265,6 +268,7 @@ def linearize_pallas_split(
     block_b: int = 1024,
     interpret: bool = None,
     vmem_budget: int = 24_000_000,
+    cg_iters: int = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(fx, fu) via the primal/tangent kernel split (`ops/jvp_split.py`).
 
@@ -283,7 +287,7 @@ def linearize_pallas_split(
     na = u.shape[-1]
     dtype = xs.dtype
     m_cl = classes[0].shape[-1]
-    sf = _split_fn_for(model, m_cl, nx, na, dtype)
+    sf = _split_fn_for(model, m_cl, nx, na, dtype, cg_iters=cg_iters)
 
     from nimblephysics_tpu.ops.lanevmap import fit_block
     nb = sf.n_boundary_f32

@@ -116,6 +116,7 @@ def rollout_gains_pallas(
     t_chunk: int = None,
     interpret: bool = None,
     classes=None,        # optional (cmask, us) each (B, T, m): frozen contact
+    cg_iters: int = None,   # planner PCG depth for the frozen solve
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Closed-loop rollouts for every (alpha, world) pair in one kernel.
 
@@ -153,7 +154,7 @@ def rollout_gains_pallas(
     else:
         from nimblephysics_tpu.ops.pallas_linearize import dyn_frozen_for_trace
 
-        dynf = dyn_frozen_for_trace(model)
+        dynf = dyn_frozen_for_trace(model, cg_iters=cg_iters)
 
         def step_fn(x, xref, uref, Kt_flat, kt, cm, usv, alpha, t):
             du = alpha * kt + Kt_flat.reshape(na, nx) @ (x - xref)
@@ -166,7 +167,13 @@ def rollout_gains_pallas(
                               z(m_cl), z(m_cl),
                               jnp.zeros((), dtype), jnp.zeros((), dtype)))
     from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
-    block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr))
+    # Contact (frozen-step) graphs are large: at the default ~8 MB lane
+    # budget fit_block collapses to 128 lanes = 1/8 sublane occupancy
+    # (measured 2.5x slower). Contact pipelines run under the raised
+    # scoped-vmem cap (bench.py jits with xla_tpu_scoped_vmem_limit_kib=
+    # 98304), so give them the budget that keeps full 1024-lane blocks.
+    budget = 1_300_000 if classes is None else 10_000_000
+    block_b = fit_block(block_b, count_eqns(lf.closed.jaxpr), budget=budget)
     # the batch tail is (block//128, 128): blocks must be full lane rows
     block_b = max(128, (block_b // 128) * 128)
     S_b = block_b // 128

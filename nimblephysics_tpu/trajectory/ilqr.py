@@ -67,6 +67,13 @@ class ILQRConfig:
     #   "jvp": force the monolithic JVP lane kernel (contact too).
     #   "xla": always the vmapped jacfwd sweep.
     linearize: str = "auto"
+    # PCG depth of the frozen-contact solve in the PLANNER kernels
+    # (rollout + linearize). None = m+6, the exact-in-m default the plant
+    # uses. With Jacobi preconditioning and identity rows on non-clamping
+    # constraints, ~16 reproduces the full solve to ~1e-6 on typical
+    # contact states at half the solve cost — a planner-accuracy knob,
+    # not a plant-accuracy one (bench.py sets 16).
+    planner_cg_iters: Optional[int] = None
     # Line-search rollout sweep in ilqr_solve_batch:
     #   "auto": the fused Pallas closed-loop rollout kernel whenever the
     #     model qualifies (contact-free, or frozen classes given) — even
@@ -198,7 +205,7 @@ def _make_dyn(model: Model):
     return dyn
 
 
-def _make_frozen_dyn(model: Model):
+def _make_frozen_dyn(model: Model, cg_iters=None):
     """Time-varying smooth planning dynamics on a frozen mode sequence
     (ops/frozen_contact.py): dyn(x, u, (cmask_t, us_t)) -> x'. The iLQR
     contact fast path — the reference's warm-start steady-state assumption
@@ -215,7 +222,8 @@ def _make_frozen_dyn(model: Model):
         s = State.from_flat(x)
         tau = model.action_to_tau(u)
         s2 = frozen_contact_step(
-            model, s, tau, FrozenClasses(cmask=cl[0], us=cl[1]), gov
+            model, s, tau, FrozenClasses(cmask=cl[0], us=cl[1]), gov,
+            cg_iters=cg_iters,
         )
         return s2.flat()
 
@@ -456,20 +464,81 @@ def solve_contact_mpc_batch(
     outer_iters: int = 2,
     block_b: int = 1024,
     classes=None,
+    class_refresh: str = "rollout",
+    refresh_fixed_point: int = 2,
 ):
     """Batched contact-model MPC solves on the frozen-mode fast path:
     `solve_contact_mpc` over B worlds with the fused Pallas pipeline doing
     the inner iLQR work. Returns (ILQRSolution, FrozenClasses for warm
-    starting the next replan). Forward-only (serving path)."""
-    from nimblephysics_tpu.ops.frozen_contact import rollout_classes
+    starting the next replan). Forward-only (serving path).
 
-    B = x0_flat.shape[0]
+    `class_refresh` selects how the per-replan mode sequence is derived
+    from the warm-started plan:
+      * "rollout":   one full-LCP sequential rollout per world
+        (`rollout_classes`) — the T-step scan of collision + PGS. Exact
+        mode dynamics, but the replan's sequential bottleneck (measured
+        ~0.8-1.1 s at B=1024, T=100 on v5e, as large as the whole fused
+        iLQR).
+      * "pointwise": fixed-point mode iteration, fully parallel — roll
+        the plan out on the FUSED frozen kernel under the current
+        classes, then reclassify every (world, step) point with one
+        batched full-LCP solve (`classify_points`), repeated
+        `refresh_fixed_point` times from an inactive-mode start (or once
+        from `classes` when warm). At the fixed point the mode sequence
+        satisfies the same consistency condition the frozen dynamics
+        assumes; this is the reference's cached-LCP warm start
+        (BoxedLcpConstraintSolver.cpp:422-458) updated in parallel
+        rather than in sequence. The serving path (bench.py) uses this.
+    """
+    from nimblephysics_tpu.ops.contact import lcp_dim
+    from nimblephysics_tpu.ops.frozen_contact import (
+        FrozenClasses,
+        classify_points,
+        rollout_classes,
+    )
+
+    B, T, na = u_init.shape
+    dtype = u_init.dtype
+    m = lcp_dim(model)
 
     def classes_of(x0f, u):
         _, _, cl, _ = rollout_classes(model, State.from_flat(x0f), u)
         return cl
 
     classes_b = jax.vmap(classes_of)
+
+    if class_refresh == "pointwise":
+        from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
+
+        K0 = jnp.zeros((B, T, na, 2 * model.nq), dtype)
+        k0 = jnp.zeros((B, T, na), dtype)
+        one_alpha = jnp.ones((1,), dtype)
+        xs_dummy = jnp.zeros((B, T + 1, 2 * model.nq), dtype)
+        tau_b = jax.vmap(jax.vmap(model.action_to_tau))
+
+        def refresh(cl, u):
+            xss, _, _ = rollout_gains_pallas(
+                model, running_cost, final_cost, x0_flat, xs_dummy, u,
+                K0, k0, one_alpha, block_b=block_b,
+                classes=(cl.cmask, cl.us),
+                cg_iters=config.planner_cg_iters,
+            )
+            xs = xss[0][:, :-1]                   # (B, T, nx) pre-step
+            cl2, _ = classify_points(model, xs, tau_b(u))
+            return cl2
+
+        def classes_b(x0f_unused, u, warm=None):
+            cl = warm
+            n = refresh_fixed_point if warm is None else 1
+            if cl is None:
+                cl = FrozenClasses(
+                    cmask=jnp.zeros((B, T, m), dtype),
+                    us=jnp.zeros((B, T, m), dtype),
+                )
+            for _ in range(n):
+                cl = refresh(cl, u)
+            return cl
+
     u = u_init
     sol = None
     for _ in range(outer_iters):
@@ -519,7 +588,7 @@ def ilqr_solve_batch(
 
         cl_bt = (jnp.zeros((B, T, 0), dtype), jnp.zeros((B, T, 0), dtype))
     else:
-        dyn = _make_frozen_dyn(model)
+        dyn = _make_frozen_dyn(model, cg_iters=config.planner_cg_iters)
         cl_bt = (classes.cmask, classes.us)
 
     idx = jnp.asarray(model.actuated, dtype=jnp.int32) if na else None
@@ -578,7 +647,8 @@ def ilqr_solve_batch(
 
         def dyn_jac(xs_bt, u_bt):
             return linearize_pallas_split(
-                model, xs_bt, u_bt, cl_kernel, block_b=block_b
+                model, xs_bt, u_bt, cl_kernel, block_b=block_b,
+                cg_iters=config.planner_cg_iters,
             )
     elif fused_lin:
         from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
@@ -657,7 +727,7 @@ def ilqr_solve_batch(
             xss, uss, costs = rollout_gains_pallas(
                 model, running_cost, final_cost,
                 x0_flat, xs, u, K, k, alphas, block_b=block_b,
-                classes=cl_kernel,
+                classes=cl_kernel, cg_iters=config.planner_cg_iters,
             )
         else:
             def try_alpha(alpha):
@@ -680,8 +750,23 @@ def ilqr_solve_batch(
         return (xs_n, u_n, cost_n, reg_n), (cost_n, K, k)
 
     u0 = clamp(u_init)
-    xs0 = rollout_controls(x0_flat, u0, cl_bt)
-    cost0 = traj_cost(xs0, u0)
+    if fused:
+        # the initial open-loop rollout through the fused kernel too —
+        # an XLA scan of the frozen step is a sequential tiny-op chain
+        # (the same bottleneck class as the sequential mode rollout)
+        nx_ = x0_flat.shape[-1]
+        xss0, _, costs0 = rollout_gains_pallas(
+            model, running_cost, final_cost, x0_flat,
+            jnp.zeros((B, T + 1, nx_), dtype), u0,
+            jnp.zeros((B, T, na, nx_), dtype),
+            jnp.zeros((B, T, na), dtype),
+            jnp.ones((1,), dtype), block_b=block_b,
+            classes=cl_kernel, cg_iters=config.planner_cg_iters,
+        )
+        xs0, cost0 = xss0[0], costs0[0]
+    else:
+        xs0 = rollout_controls(x0_flat, u0, cl_bt)
+        cost0 = traj_cost(xs0, u0)
     reg0 = jnp.full((B,), config.reg_init, dtype=dtype)
     (xs, u, cost, _), (hist, Ks, ks) = jax.lax.scan(
         iteration, (xs0, u0, cost0, reg0), None, length=config.iters

@@ -231,3 +231,54 @@ def test_frozen_cg_f32_converges_on_ill_conditioned_system():
     r = M @ x32 - bvec
     rel = np.linalg.norm(r) / np.linalg.norm(bvec)
     assert rel < 1e-5, f"f32 PCG residual {rel:.2e} (not converged)"
+
+
+def test_pointwise_class_refresh_matches_sequential_rollout():
+    """The fixed-point pointwise mode refresh (classify_points + fused
+    frozen rollout) must converge to (nearly) the same mode sequence as
+    the sequential full-LCP rollout on a settled contact world, and the
+    resulting MPC solve must not degrade."""
+    from nimblephysics_tpu.models import builders
+    from nimblephysics_tpu.ops.frozen_contact import rollout_classes
+    from nimblephysics_tpu.trajectory.ilqr import (
+        ILQRConfig,
+        solve_contact_mpc_batch,
+    )
+
+    m = builders.jump_worm(dt=0.001)
+    s = State(q=jnp.zeros(m.nq).at[1].set(-0.45), v=jnp.zeros(m.nq))
+    for _ in range(300):
+        s = contact_step(m, s, jnp.zeros(m.nq))
+    B, T = 2, 10
+    x0 = jnp.tile(s.flat()[None], (B, 1))
+    u = 0.05 * jnp.ones((B, T, m.num_actions))
+
+    _, _, cl_seq, _ = jax.vmap(
+        lambda x0f, uu: rollout_classes(m, State.from_flat(x0f), uu)
+    )(x0, u)
+
+    def rc(x, uu, t):
+        return 1e-5 * jnp.sum(uu**2) + 2.0 * (x[1] + 0.4) ** 2
+
+    def fc(x):
+        return 20.0 * (x[1] + 0.4) ** 2
+
+    cfg = ILQRConfig(iters=2, alphas=(1.0, 0.3), unroll=1)
+    sol_pw, cl_pw = solve_contact_mpc_batch(
+        m, x0, u, rc, fc, cfg, outer_iters=1, block_b=128,
+        class_refresh="pointwise",
+    )
+    sol_seq, _ = solve_contact_mpc_batch(
+        m, x0, u, rc, fc, cfg, outer_iters=1, block_b=128,
+        class_refresh="rollout",
+    )
+    agree = float(jnp.mean((cl_pw.cmask == cl_seq.cmask).astype(jnp.float32)))
+    # The worm's 8 coplanar box-floor slots have an indeterminate force
+    # distribution (see test_rollout_classes_mode_sequence_stable_at_rest),
+    # so slot-level agreement below 1.0 is expected; the load-bearing
+    # assertion is the solve-quality one below.
+    assert agree > 0.85, f"pointwise/sequential class agreement {agree}"
+    # solve quality must be comparable (identical modes -> identical solve)
+    c_pw = float(jnp.mean(sol_pw.cost))
+    c_seq = float(jnp.mean(sol_seq.cost))
+    assert c_pw < c_seq * 1.1 + 1e-6, (c_pw, c_seq)
