@@ -25,11 +25,21 @@ GROUP_FILES = 4  # ~files per process; full-suite crashes began near 10+
 
 
 def discover_files(tests_dir: str) -> list:
-    return sorted(
+    out = [
         os.path.join(tests_dir, f)
         for f in os.listdir(tests_dir)
         if f.startswith("test_") and f.endswith(".py")
-    )
+    ]
+    # one-file-per-bug issue-regression battery (reference:
+    # unittests/regression/test_Issue*.cpp)
+    reg = os.path.join(tests_dir, "regression")
+    if os.path.isdir(reg):
+        out += [
+            os.path.join(reg, f)
+            for f in os.listdir(reg)
+            if f.startswith("test_") and f.endswith(".py")
+        ]
+    return sorted(out)
 
 
 _SUMMARY_RE = re.compile(r"(\d+) (passed|failed|error|errors|skipped|xfailed|xpassed|deselected|warning|warnings)")
