@@ -64,6 +64,60 @@ def decode_frame(sock: socket.socket) -> Optional[bytes]:
     return b""  # ping/pong/continuation: ignore payload
 
 
+class WebsocketClient:
+    """Minimal RFC 6455 CLIENT — the transport for the scripted viewer
+    check (scripts/check_viewer.py drives the GUI server exactly the way
+    the browser page does) and for headless GUI-protocol consumers."""
+
+    def __init__(self, host: str, port: int, timeout: float = 5.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        key = base64.b64encode(b"nimblephysics_tpu").decode()
+        self.sock.sendall(
+            (
+                f"GET / HTTP/1.1\r\nHost: {host}:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        # read the handshake BYTE-WISE: the server may coalesce its 101
+        # response with the first websocket frame in one TCP segment, and
+        # a block recv would swallow (and lose) those frame bytes
+        response = b""
+        while not response.endswith(b"\r\n\r\n"):
+            chunk = self.sock.recv(1)
+            if not chunk:
+                raise ConnectionError("websocket handshake failed")
+            response += chunk
+        if b"101" not in response.split(b"\r\n", 1)[0]:
+            raise ConnectionError(f"unexpected handshake: {response[:80]!r}")
+
+    def recv_text(self) -> Optional[str]:
+        payload = decode_frame(self.sock)
+        return None if payload is None else payload.decode()
+
+    def send_text(self, text: str) -> None:
+        # client-to-server frames MUST be masked (RFC 6455 §5.3)
+        payload = text.encode()
+        mask = b"\x12\x34\x56\x78"
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        n = len(payload)
+        header = b"\x81"
+        if n < 126:
+            header += struct.pack("!B", 0x80 | n)
+        elif n < 65536:
+            header += struct.pack("!BH", 0x80 | 126, n)
+        else:
+            header += struct.pack("!BQ", 0x80 | 127, n)
+        self.sock.sendall(header + mask + masked)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
 class WebsocketServer:
     def __init__(self, port: int, on_message: Optional[Callable[[bytes], None]] = None,
                  on_connect: Optional[Callable[[socket.socket], None]] = None):
@@ -115,10 +169,14 @@ class WebsocketServer:
                 f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
             )
             client.sendall(response.encode())
-            with self._lock:
-                self._clients.append(client)
+            # on_connect (the full-state snapshot) must complete BEFORE
+            # the client joins the broadcast list: otherwise a flush diff
+            # can interleave ahead of the snapshot and the viewer builds
+            # its scene from a diff (found by scripts/check_viewer.py)
             if self.on_connect:
                 self.on_connect(client)
+            with self._lock:
+                self._clients.append(client)
             while self._running:
                 payload = decode_frame(client)
                 if payload is None:
