@@ -118,6 +118,13 @@ def solve_frozen(A, b, classes: FrozenClasses, gov: jax.Array,
     def mv(M, v):
         return jnp.einsum("...ij,...j->...i", M, v)
 
+    # Keep the CGNR (two-matvec) form in ALL paths. Materializing
+    # Mn = QfᵀQf once and doing one matvec per CG iteration was tried in
+    # round 4 and MEASURED SLOWER in the lane kernels (worm 1187 -> 1037,
+    # cheetah 451 -> 405 solves/s): the m³ outer-product accumulation
+    # unrolls to m sequential (m, m)-sized multiply-adds with heavy VMEM
+    # churn, costing more than the per-iteration matvec it saves — and it
+    # also loses ~1 bit of the unsquared form's accuracy.
     def matvec(p):
         return mv(QfT, mv(Qf, p)) + reg * p
 

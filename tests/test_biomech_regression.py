@@ -165,3 +165,60 @@ def test_arnold2013_subject01_bilevel_marker_fitter_golden():
     assert float(res.marker_rmse) < 2e-3, f"rmse {float(res.marker_rmse)}"
     s = np.asarray(res.scales)
     assert (s > 0.7).all() and (s < 1.4).all()
+
+
+@needs_data
+@pytest.mark.slow
+def test_arnold2013_subject01_dynamics_fitter_golden():
+    """DynamicsFitter golden on the Arnold grf data (round-3 verdict
+    item 5): run the staged pipeline (contacts -> linear residual zeroing
+    -> angular optimization -> mass/COM fit) on subject01's gold walk2
+    kinematics + force plates, starting from a 20%-UNDERWEIGHT model, and
+    require the fitted total mass to recover the subject's recorded
+    72.84 kg (_subject.json massKg). Committed thresholds: total mass
+    within 2% (measured 0.12%), linear root residual reduced by > 10x
+    (measured 83.9 -> 1.2 N). Reference:
+    dart/biomechanics/DynamicsFitter.hpp:1461 timeSyncAndInitialize."""
+    from nimblephysics_tpu.biomechanics.dynamics_fitter import (
+        run_dynamics_pipeline,
+    )
+    from nimblephysics_tpu.biomechanics.force_plates import ForcePlate
+    from nimblephysics_tpu.utils.osim_parser import parse_osim
+
+    sub, gold_mass = "subject01", 72.84
+    model, state, _ = parse_osim(f"{DATA}/{sub}/{sub}.osim")
+    cols, coords = load_mot(f"{DATA}/{sub}/coordinates.sto")
+    gcols, grf = load_mot(f"{DATA}/{sub}/trials/walk2/grf.mot")
+    T, nq = coords.shape[0], model.nq
+    qs = np.zeros((T, nq))
+    dmap = {n: i for i, n in enumerate(model.dof_names)}
+    for j, c in enumerate(cols):
+        if c in dmap:
+            qs[:, dmap[c]] = coords[:, j]
+    g = {c: j for j, c in enumerate(gcols)}
+    plates = []
+    for side in ("r", "l"):
+        plates.append(ForcePlate(
+            corners=np.asarray([[1.0, 0, 1], [-1, 0, 1], [-1, 0, -1],
+                                [1, 0, -1]]),
+            origin=np.zeros(3),
+            forces=grf[:, [g[f"ground_force_{side}_v{a}"] for a in "xyz"]],
+            moments=grf[:, [g[f"ground_torque_{side}_{a}"] for a in "xyz"]],
+            cop=grf[:, [g[f"ground_force_{side}_p{a}"] for a in "xyz"]],
+        ))
+    feet = tuple(model.body_names.index(b) for b in ("calcn_r", "calcn_l"))
+    m0 = model.replace(mass=model.mass * 0.8,
+                       dt=jnp.asarray(0.005, model.mass.dtype))
+    m2, report = run_dynamics_pipeline(
+        m0, jnp.asarray(qs, m0.mass.dtype), plates, foot_bodies=feet,
+        root_trans_dofs=(3, 4, 5), root_rot_dofs=(0, 1, 2),
+        angular_iters=100, inertia_iters=200,
+    )
+    fitted = float(jnp.sum(m2.mass))
+    assert abs(fitted - gold_mass) / gold_mass < 0.02, (
+        f"fitted mass {fitted:.2f} vs {gold_mass}"
+    )
+    assert float(report.linear_residual_after) < 0.1 * float(
+        report.linear_residual_before
+    )
+    assert np.isfinite(float(report.angular_residual_after))
