@@ -193,6 +193,13 @@ class Model:
         default=(), metadata=dict(static=True)
     )
 
+    # ---- collision filtering (dart/collision/BodyNodeCollisionFilter) ----
+    # static body-index pairs that never collide (beyond the built-in
+    # parent-child adjacency filter); order-insensitive
+    no_collide: Tuple[Tuple[int, int], ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
     # ---- loop-closure dynamic joint constraints ----
     # (dart/constraint/BallJointConstraint.hpp:46, WeldJointConstraint.hpp:46)
     # Static topology: (kind, body_a, body_b) with kind in {"ball", "weld"}

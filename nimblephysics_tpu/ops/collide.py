@@ -134,6 +134,11 @@ def enumerate_pairs(model: Model) -> List[Tuple[int, int, int]]:
                     continue
                 if model.parents[b.body_index] == a.body_index:
                     continue
+            # explicit filter (BodyNodeCollisionFilter analogue)
+            pair = (a.body_index, b.body_index)
+            nc = getattr(model, "no_collide", ()) or ()
+            if pair in nc or (pair[1], pair[0]) in nc:
+                continue
             n = _num_slots(a.kind, b.kind)
             if n == 0:
                 continue

@@ -338,9 +338,13 @@ def build_constraint_system(
         fscale = jnp.concatenate([fscale, jnp.zeros(len(Cd), dtype)])
 
     M = dyn.mass_matrix(model, q, kin=kin)
-    if planner and nq <= 16:
+    if planner and nq <= 40:
         # pivot-free unrolled SPD solve: keeps the planner assembly free of
-        # the serial pivoting loops jnp.linalg.solve lowers to on TPU
+        # the serial pivoting loops jnp.linalg.solve lowers to on TPU (the
+        # `lu` primitive is also not lane-evaluable — Atlas-study wall #3).
+        # Mass matrices are SPD with bounded conditioning, so pivot-free
+        # elimination is stable well past the old nq<=16 cap; 40 covers
+        # Atlas (33) and drchubo-class humanoids.
         from nimblephysics_tpu.ops import linalg_small
 
         Minv_Jt = linalg_small.solve_spd(M, J.T)

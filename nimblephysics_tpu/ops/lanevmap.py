@@ -628,6 +628,17 @@ def lane_eval(
             out = jax.lax.rev(vals[0], eqn.params["dimensions"])
             write(eqn.outvars[0], out, True)
 
+        elif prim == "pad":
+            # reverse-mode AD transposes `slice` into `pad` — extend the
+            # config with no-op padding on the trailing batch axes
+            cfg = tuple(eqn.params["padding_config"]) + ((0, 0, 0),) * nbt
+            pv = vals[1]
+            if not isinstance(pv, jcore.Tracer):
+                pv = jnp.asarray(np.asarray(pv).item(),
+                                 dtype=vals[0].dtype)
+            out = jax.lax.pad(_bcast(vals[0], bs[0], bt), pv, cfg)
+            write(eqn.outvars[0], out, True)
+
         elif prim == "concatenate":
             vb = [_bcast(v, b, bt) for v, b in ins
                   if int(np.prod(np.shape(v))) > 0]

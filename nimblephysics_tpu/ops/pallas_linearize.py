@@ -390,3 +390,168 @@ def linearize_pallas_split(
     fx = jnp.swapaxes(cols[:, :, :nx, :], 2, 3)   # (B, T, nx, nx)
     fu = jnp.swapaxes(cols[:, :, nx:, :], 2, 3)   # (B, T, nx, na)
     return fx, fu
+
+
+def linear_position_update(model: Model) -> bool:
+    """True when every joint integrates positions LINEARLY
+    (q' = q + dt v): all types except the exp-map ball/free retractions
+    (ops/joints.integrate_position). The row-VJP linearize relies on it
+    for the analytic q' Jacobian rows."""
+    return all(t not in ("ball", "free") for t in model.joint_types)
+
+
+def _vjp_fn_for(model: Model, m_cl: int, nx: int, na: int, dtype,
+                cg_iters: int = None):
+    """SplitJVPFn of the ROW-VJP of the frozen step's v' half (cached;
+    see _split_fn_for for the cache hazards)."""
+    from nimblephysics_tpu.ops.jvp_split import SplitJVPFn
+
+    nq = nx // 2
+    key = ("vjp", id(model), m_cl, nx, na, jnp.dtype(dtype).name, cg_iters)
+    hit = _SPLIT_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    with jax.ensure_compile_time_eval():
+        dynf = dyn_frozen_for_trace(model, cg_iters=cg_iters)
+
+        def vjp_fn(x, uu, cm, usv, ct):
+            _, pull = jax.vjp(
+                lambda a, b: dynf(a, b, cm, usv)[nq:], x, uu
+            )
+            gx, gu = pull(ct)
+            return jnp.concatenate([gx, gu])
+
+        z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
+        sf = SplitJVPFn(
+            vjp_fn, (z(nx), z(na), z(m_cl), z(m_cl), z(nq)), n_tangent=1
+        )
+    _SPLIT_CACHE[key] = (model, sf)
+    return sf
+
+
+def linearize_pallas_vjp(
+    model: Model,
+    xs: jax.Array,      # (B, T, nx) pre-step states
+    u: jax.Array,       # (B, T, na)
+    classes,            # (cmask, us) each (B, T, m)
+    block_b: int = 1024,
+    interpret: bool = None,
+    vmem_budget: int = 24_000_000,
+    cg_iters: int = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(fx, fu) via ROW-VJPs of the v' half of the frozen step — the
+    round-4 refinement of the primal/tangent split.
+
+    Structure exploited: x' = [q + dt·v ; v'(q, v, u)], so the top nq
+    Jacobian rows are analytic ([I, dt·I] and 0; valid whenever
+    `linear_position_update`), and only v' needs AD — nq cotangent ROWS
+    instead of nx+na JVP directions. Measured per-point work drops
+    1.77x (worm, 10→4 directions) and ~2.4x (cheetah, 24→9); kernels
+    and boundary machinery are shared with `linearize_pallas_split`
+    (the cotangent rides the second grid dimension)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, nx = xs.shape
+    na = u.shape[-1]
+    nq = nx // 2
+    dtype = xs.dtype
+    m_cl = classes[0].shape[-1]
+    sf = _vjp_fn_for(model, m_cl, nx, na, dtype, cg_iters=cg_iters)
+
+    from nimblephysics_tpu.ops.lanevmap import fit_block
+    nb = sf.n_boundary_f32
+    heavy = max(sf.n_eqns_primal, sf.n_eqns_tangent) + 2 * nb
+    block_b = fit_block(block_b, heavy, budget=vmem_budget)
+    block_b = max(128, (block_b // 128) * 128)
+    S_b = block_b // 128
+
+    N = B * T
+    N_pad = -(-N // block_b) * block_b
+    G = N_pad // block_b
+    bt = (S_b, 128)
+    no = nx + na        # outputs per row: [gx | gu]
+
+    def lanes(a2):
+        aT = a2.T
+        if N_pad != N:
+            aT = jnp.pad(aT, ((0, 0), (0, N_pad - N)))
+        return aT.reshape(aT.shape[0], G, S_b, 128)
+
+    xT = lanes(xs.reshape(N, nx))
+    uT = lanes(u.reshape(N, na))
+    cmT = lanes(classes[0].reshape(N, m_cl))
+    usT = lanes(classes[1].reshape(N, m_cl))
+
+    lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, 1, S_b, 128), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def primal_kernel(*refs):
+        const_refs = refs[:sf.n_consts]
+        x_r, u_r, cm_r, us_r, b_r = refs[sf.n_consts:]
+        args = [jax.lax.squeeze(r[...], (1,))
+                for r in (x_r, u_r, cm_r, us_r)]
+        packed = sf.call_primal([cr[...] for cr in const_refs], args, bt)
+        b_r[...] = jax.lax.expand_dims(packed, (1,))
+
+    bound = pl.pallas_call(
+        primal_kernel,
+        grid=(G,),
+        in_specs=[_const_spec(c) for c in sf.consts2d] +
+                 [lane_spec(nx), lane_spec(na), lane_spec(m_cl),
+                  lane_spec(m_cl)],
+        out_specs=lane_spec(nb),
+        out_shape=jax.ShapeDtypeStruct((nb, G, S_b, 128), jnp.float32),
+        interpret=interpret,
+    )(*sf.consts2d, xT, uT, cmT, usT)
+
+    # cotangent rows e_k packed (nq, 8, 128), sublane 0 carries the row
+    bas = jnp.zeros((nq, 8, 128), dtype)
+    bas = bas.at[:, 0, :nq].set(jnp.eye(nq, dtype=dtype))
+
+    def row_kernel(*refs):
+        const_refs = refs[:sf.n_consts]
+        b_r, bas_r, t_r = refs[sf.n_consts:]
+        packed = jax.lax.squeeze(b_r[...], (1,))
+        bb = bas_r[...]
+        ct = jax.lax.reshape(jax.lax.slice(bb, (0, 0, 0), (1, 1, nq)),
+                             (nq,))
+        (g,) = sf.call_tangent(
+            [cr[...] for cr in const_refs], packed, (ct,), bt
+        )
+        t_r[...] = jax.lax.expand_dims(g, (1, 2))
+
+    bound_spec = pl.BlockSpec(
+        (nb, 1, S_b, 128), lambda i, k: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bas_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i, k: (k, 0, 0), memory_space=pltpu.VMEM,
+    )
+    t_p = pl.pallas_call(
+        row_kernel,
+        grid=(G, nq),
+        in_specs=[_const_spec(c) for c in sf.consts2d] +
+                 [bound_spec, bas_spec],
+        out_specs=pl.BlockSpec(
+            (no, 1, 1, S_b, 128), lambda i, k: (0, i, k, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((no, G, nq, S_b, 128), dtype),
+        interpret=interpret,
+    )(*sf.consts2d, bound, bas)
+
+    # t_p[c, i, k, s, l] = row k of [∂v'/∂x | ∂v'/∂u] at point p
+    rows = jnp.transpose(t_p, (1, 3, 4, 2, 0)).reshape(N_pad, nq, no)
+    rows = rows[:N].reshape(B, T, nq, no)
+    fx_bot = rows[..., :nx]                       # (B, T, nq, nx)
+    fu_bot = rows[..., nx:]                       # (B, T, nq, na)
+    dt = jnp.asarray(model.dt, dtype)
+    eye = jnp.eye(nq, dtype=dtype)
+    top = jnp.concatenate([eye, dt * eye], axis=-1)          # (nq, nx)
+    fx_top = jnp.broadcast_to(top, (B, T, nq, nx))
+    fu_top = jnp.zeros((B, T, nq, na), dtype)
+    fx = jnp.concatenate([fx_top, fx_bot], axis=2)
+    fu = jnp.concatenate([fu_top, fu_bot], axis=2)
+    return fx, fu

@@ -642,14 +642,27 @@ def ilqr_solve_batch(
         from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
     if fused_lin and classes is not None and config.linearize == "auto":
         from nimblephysics_tpu.ops.pallas_linearize import (
+            linear_position_update,
             linearize_pallas_split,
+            linearize_pallas_vjp,
         )
 
-        def dyn_jac(xs_bt, u_bt):
-            return linearize_pallas_split(
-                model, xs_bt, u_bt, cl_kernel, block_b=block_b,
-                cg_iters=config.planner_cg_iters,
-            )
+        if linear_position_update(model):
+            # row-VJP refinement: only the v' half needs AD (nq cotangent
+            # rows instead of nx+na JVP directions — ~1.8-2.4x less
+            # per-point work); the q' rows are analytic for linearly-
+            # integrating joints
+            def dyn_jac(xs_bt, u_bt):
+                return linearize_pallas_vjp(
+                    model, xs_bt, u_bt, cl_kernel, block_b=block_b,
+                    cg_iters=config.planner_cg_iters,
+                )
+        else:
+            def dyn_jac(xs_bt, u_bt):
+                return linearize_pallas_split(
+                    model, xs_bt, u_bt, cl_kernel, block_b=block_b,
+                    cg_iters=config.planner_cg_iters,
+                )
     elif fused_lin:
         from nimblephysics_tpu.ops.pallas_linearize import linearize_pallas
 

@@ -189,3 +189,24 @@ def test_split_jvp_taint_produces_linear_tangent_half(worm_setup):
     assert t_cls == 1, "implicit tangent solve must be in the tangent half"
     # the split must actually remove work from the per-direction kernel
     assert sf.n_eqns_primal > 0.3 * sf.n_eqns_tangent
+
+
+def test_vjp_linearize_matches_xla_jacfwd_on_frozen_contact(worm_setup):
+    """The round-4 row-VJP linearize (nq cotangent rows + analytic q'
+    rows) must agree with the XLA jacfwd oracle like the JVP split."""
+    from nimblephysics_tpu.ops.pallas_linearize import (
+        linear_position_update,
+        linearize_pallas_vjp,
+    )
+
+    m, s, x0b, xs, u, cl = worm_setup
+    assert linear_position_update(m)
+    fx, fu = linearize_pallas_vjp(
+        m, xs, u, (cl.cmask, cl.us), block_b=128, interpret=True
+    )
+    dynf = dyn_frozen_for_trace(m)
+    ref = jax.vmap(jax.vmap(jax.jacfwd(dynf, argnums=(0, 1))))(
+        xs, u, cl.cmask, cl.us
+    )
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(ref[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(ref[1]), atol=1e-6)
