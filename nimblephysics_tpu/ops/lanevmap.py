@@ -646,10 +646,20 @@ def lane_eval(
             write(eqn.outvars[0], out, True)
 
         elif prim == "split":
-            outs = jax.lax.split(vals[0], eqn.params["sizes"],
-                                 eqn.params["axis"])
-            for ov, o in zip(eqn.outvars, outs):
-                write(ov, o, True)
+            # emit as slices: lax.split with a ZERO-SIZE piece creates a
+            # 0-size vector type Mosaic rejects ("MLIRError: Invalid
+            # type" — hit by the VJP kernel on limits-only models where
+            # a cotangent split has an empty contact segment); zero-size
+            # pieces become concrete numpy empties like everywhere else
+            axis = eqn.params["axis"]
+            off = 0
+            for ov, sz in zip(eqn.outvars, eqn.params["sizes"]):
+                if int(np.prod(ov.aval.shape)) == 0:
+                    write(ov, np.zeros(ov.aval.shape, ov.aval.dtype), False)
+                else:
+                    write(ov, jax.lax.slice_in_dim(
+                        vals[0], off, off + sz, axis=axis), True)
+                off += sz
 
         elif prim in _REDUCE_OPS:
             # reduce axes address only LEADING (vreg-array) dims — with the

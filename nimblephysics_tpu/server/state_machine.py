@@ -306,9 +306,11 @@ setInterval(() => {
 """
         )
         # replace the websocket hookup with the embedded playback loop
+        # (the page's `send` already guards on a null/closed socket)
+        assert "connect();" in html, "viewer page lost its connect() hook"
         html = html.replace(
-            "const ws = new WebSocket(",
-            frames_js + "const ws = { readyState: 0 }; void (",
+            "connect();",
+            frames_js + "/* standalone replay: no websocket */",
         )
         with open(path, "w") as f:
             f.write(html)
