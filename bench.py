@@ -185,10 +185,20 @@ def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
     nq, na = model.nq, model.num_actions
     running, final = task(model)
 
+    # pointwise mode refresh pays off exactly when the sequential
+    # full-LCP scan is expensive (frictional contact + collision); for
+    # limits-only models (cartpole_limits: zero contact slots, direct
+    # 3-iter LCP) the T-step scan is trivially cheap and the fixed-point
+    # refresh's extra fused rollouts cost more than they save (measured
+    # 1368 -> 646 solves/s)
+    from nimblephysics_tpu.ops.collide import total_slots
+
+    refresh = "pointwise" if total_slots(model) > 0 else "rollout"
+
     def solve_all(x0s, u_warms):
         sol, classes = solve_contact_mpc_batch(
             model, x0s, u_warms, running, final, cfg, outer_iters=1,
-            class_refresh="pointwise",
+            class_refresh=refresh,
         )
         return sol.u, sol.cost
 

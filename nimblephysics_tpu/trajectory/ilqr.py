@@ -635,23 +635,30 @@ def ilqr_solve_batch(
     from nimblephysics_tpu.ops.contact import lcp_dim
 
     can_fuse = na > 0 and (lcp_dim(model) == 0 or classes is not None)
-    fused_lin = config.linearize in ("auto", "jvp") and can_fuse
+    fused_lin = config.linearize in ("auto", "jvp", "split", "vjp") and can_fuse
     fused = config.rollout == "auto" and can_fuse
     cl_kernel = None if classes is None else cl_bt
     if fused:
         from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
-    if fused_lin and classes is not None and config.linearize == "auto":
+    if fused_lin and classes is not None and config.linearize in (
+            "auto", "split", "vjp"):
         from nimblephysics_tpu.ops.pallas_linearize import (
             linear_position_update,
             linearize_pallas_split,
             linearize_pallas_vjp,
         )
 
-        if linear_position_update(model):
+        use_vjp = (config.linearize == "vjp") or (
+            config.linearize == "auto"
+            and linear_position_update(model) and model.nq >= 4
+        )
+        if use_vjp:
             # row-VJP refinement: only the v' half needs AD (nq cotangent
             # rows instead of nx+na JVP directions — ~1.8-2.4x less
             # per-point work); the q' rows are analytic for linearly-
-            # integrating joints
+            # integrating joints. nq >= 4: at tiny row counts the
+            # per-grid-step overhead beats the flop saving (measured:
+            # cartpole_limits nq=2 ran 2x slower on the row kernel).
             def dyn_jac(xs_bt, u_bt):
                 return linearize_pallas_vjp(
                     model, xs_bt, u_bt, cl_kernel, block_b=block_b,
