@@ -14,8 +14,15 @@ from nimblephysics_tpu.biomechanics.markers import (  # noqa: F401
     marker_world_positions,
 )
 from nimblephysics_tpu.biomechanics.marker_fitter import (  # noqa: F401
+    BilevelFitResult,
     MarkerFitResult,
+    find_joint_centers,
     fit_markers,
+    fit_markers_bilevel,
+)
+from nimblephysics_tpu.biomechanics.ik_initializer import (  # noqa: F401
+    IKInitializerResult,
+    run_ik_initializer,
 )
 from nimblephysics_tpu.biomechanics.anthropometrics import Anthropometrics  # noqa: F401
 from nimblephysics_tpu.biomechanics.c3d import load_c3d, C3DFile  # noqa: F401
