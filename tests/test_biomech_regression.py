@@ -222,3 +222,43 @@ def test_arnold2013_subject01_dynamics_fitter_golden():
         report.linear_residual_before
     )
     assert np.isfinite(float(report.angular_residual_after))
+
+
+@needs_data
+@pytest.mark.slow
+def test_arnold2013_subject01_bilevel_multitrial_golden():
+    """Multi-trial bilevel fit (the reference's multi-trial kinematics
+    pipeline, MarkerFitter.hpp:625-900): subject01's walk2 split into two
+    UNEQUAL-length trials, one shared (scales, offsets) across both,
+    per-trial pose blocks padded to a common length. Must reach the same
+    Arnold thresholds as the single-trial fit."""
+    from nimblephysics_tpu.biomechanics.marker_fitter import fit_markers_bilevel
+
+    sub = "subject01"
+    _, labels, pts, mask = load_trc(f"{DATA}/{sub}/trials/walk2/markers.trc")
+    cols, gold = load_mot(f"{DATA}/{sub}/coordinates.sto")
+    T = min(pts.shape[0], gold.shape[0])
+    stride = 6
+    mocap = MarkerMocap.from_osim(f"{DATA}/unscaled_generic.osim")
+    mk, colidx = _marker_subset(mocap, labels)
+    obs = pts[:T:stride][:, colidx]
+    msk = mask[:T:stride][:, colidx]
+    Th = obs.shape[0] // 2
+    import jax
+
+    res = jax.jit(lambda a, b, ma, mb: fit_markers_bilevel(
+        mocap.model, mk, [a, b], [ma, mb]
+    ))(jnp.asarray(obs[:Th]), jnp.asarray(obs[Th:]),
+       jnp.asarray(msk[:Th]), jnp.asarray(msk[Th:]))
+    gold_t = gold[:T:stride]
+    poses = np.concatenate(
+        [np.asarray(res.poses[0][:Th]),
+         np.asarray(res.poses[1][:obs.shape[0] - Th])], axis=0,
+    )
+    col_map = {c: i for i, c in enumerate(cols)}
+    errs = [np.abs(poses[:, i] - gold_t[:, col_map[n]]).mean()
+            for i, n in enumerate(mocap.model.dof_names) if n in col_map]
+    assert float(np.mean(errs)) < 0.05
+    assert float(res.marker_rmse) < 2e-3
+    s = np.asarray(res.scales)
+    assert (s > 0.7).all() and (s < 1.4).all()
