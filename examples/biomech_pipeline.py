@@ -66,7 +66,26 @@ def main():
     observed = jax.vmap(lambda q: marker_world_positions(scaled, mk_s, q))(qs)
     print(f"synthesized {T} frames x {len(common)} markers of mocap")
 
-    # fit the generic model to the synthesized mocap
+    # stage 1 (round-4 pipeline): closed-form IKInitializer — cluster
+    # poses -> joint centers -> bone scales -> sequential IK, no
+    # optimizer (IKInitializer::runFullPipeline)
+    from nimblephysics_tpu.biomechanics import run_ik_initializer
+
+    init = run_ik_initializer(generic, mk_g, np.asarray(observed))
+    print(f"IKInitializer: {int(init.joint_valid.sum())} closed-form joint "
+          f"centers, scales [{init.scales.min():.3f}, {init.scales.max():.3f}]")
+
+    # stage 2: TRUE bilevel fit (outer scales/offsets, inner per-frame GN
+    # IK, envelope-theorem gradients) warm-started from the initializer
+    from nimblephysics_tpu.biomechanics import fit_markers_bilevel
+
+    bres = fit_markers_bilevel(
+        generic, mk_g, observed, q_inits=[jnp.asarray(init.poses)],
+        outer_iters=80,
+    )
+    print(f"bilevel marker RMSE: {float(bres.marker_rmse)*1000:.1f} mm")
+
+    # stage 3: the joint Adam fit (the fast single-program alternative)
     result = fit_markers(
         generic, mk_g, observed, q_init=qs, iters=600, lr=1e-2,
         regularize_offsets=5.0, regularize_scales=1e-2, smooth_poses=1e-3,
