@@ -128,7 +128,9 @@ def _time_solves(solve, args, B, reps=5):
     warm = args
     for _ in range(reps):
         out = solve(*warm)
-        warm = (args[0], out[0]) + args[2:]  # warm-start controls
+        # warm-start controls (+ mode classes, when the solve returns
+        # them) — the per-replan state MPC serving carries
+        warm = (args[0], out[0]) + tuple(out[2:]) + args[2 + len(out[2:]):]
         float(jnp.sum(out[1]))
     dt = (time.time() - t0) / reps
     return B / dt
@@ -195,12 +197,27 @@ def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
 
     refresh = "pointwise" if total_slots(model) > 0 else "rollout"
 
-    def solve_all(x0s, u_warms):
-        sol, classes = solve_contact_mpc_batch(
-            model, x0s, u_warms, running, final, cfg, outer_iters=1,
-            class_refresh=refresh,
-        )
-        return sol.u, sol.cost
+    if refresh == "pointwise":
+        # warm-started MPC serving: the mode classes thread across
+        # replans like the controls (the reference's cached LCP solution,
+        # MPCLocal.cpp:255-300) — each replan pays ONE warm fixed-point
+        # refresh instead of a cold restart
+        def solve_all(x0s, u_warms, cm, us):
+            from nimblephysics_tpu.ops.frozen_contact import FrozenClasses
+
+            sol, classes = solve_contact_mpc_batch(
+                model, x0s, u_warms, running, final, cfg, outer_iters=1,
+                class_refresh=refresh,
+                classes=FrozenClasses(cmask=cm, us=us),
+            )
+            return sol.u, sol.cost, classes.cmask, classes.us
+    else:
+        def solve_all(x0s, u_warms):
+            sol, classes = solve_contact_mpc_batch(
+                model, x0s, u_warms, running, final, cfg, outer_iters=1,
+                class_refresh=refresh,
+            )
+            return sol.u, sol.cost
 
     # XLA:TPU's scoped-vmem pass insists on placing the rollout kernel's
     # (T, E, B) candidate-trajectory output in VMEM inside the iLQR scan
@@ -212,11 +229,17 @@ def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
         solve_all,
         compiler_options={"xla_tpu_scoped_vmem_limit_kib": 98304},
     )
+    from nimblephysics_tpu.ops.contact import lcp_dim
+
     key = jax.random.PRNGKey(1)
     x0 = s0_flat_fn(B, key)
     u0 = jnp.zeros((B, H, na))
-    rate = _time_solves(solve, (x0, u0), B)
-    from nimblephysics_tpu.ops.contact import lcp_dim
+    if refresh == "pointwise":
+        m = lcp_dim(model)
+        z = jnp.zeros((B, H, m), u0.dtype)
+        rate = _time_solves(solve, (x0, u0, z, z), B)
+    else:
+        rate = _time_solves(solve, (x0, u0), B)
 
     return rate, _flops_per_solve(model, running, final, H, cfg.iters,
                                   len(cfg.alphas), classes_m=lcp_dim(model))
@@ -278,7 +301,7 @@ def main() -> None:
 
     H = int(os.environ.get("BENCH_H", "100"))
     B = int(os.environ.get("BENCH_BATCH", "4096"))
-    B_CONTACT = int(os.environ.get("BENCH_BATCH_CONTACT", "1024"))
+    B_CONTACT = int(os.environ.get("BENCH_BATCH_CONTACT", "2048"))
     ITERS = int(os.environ.get("BENCH_ITERS", "8"))
     N_ALPHA = int(os.environ.get("BENCH_ALPHAS", "6"))
     ALPHAS = (1.0, 0.6, 0.3, 0.1, 0.03, 0.01)[:N_ALPHA]
@@ -297,7 +320,7 @@ def main() -> None:
                              linearize=os.environ.get("BENCH_LINEARIZE",
                                                       "auto"),
                              planner_cg_iters=int(
-                                 os.environ.get("BENCH_CG_ITERS", "16")))
+                                 os.environ.get("BENCH_CG_ITERS", "12")))
 
     # Fail-soft: each config is timed independently; one config crashing
     # must not zero out the round's evidence (round-2 lesson). Errors are
@@ -306,12 +329,12 @@ def main() -> None:
     runs = [
         ("cartpole_b4096", "cartpole",
          lambda: bench_cartpole(H, B, cfg), cfg),
-        ("cartpole_limits_b1024", "cartpole_limits",
+        (f"cartpole_limits_b{B_CONTACT}", "cartpole_limits",
          lambda: bench_cartpole(H, B_CONTACT, cfg, with_limits=True), cfg),
-        ("half_cheetah_b1024", "half_cheetah",
+        (f"half_cheetah_b{B_CONTACT}", "half_cheetah",
          lambda: bench_half_cheetah(H, B_CONTACT, cfg_contact),
          cfg_contact),
-        ("jump_worm_contact_b1024", "jump_worm",
+        (f"jump_worm_contact_b{B_CONTACT}", "jump_worm",
          lambda: bench_jump_worm(H, B_CONTACT, cfg_contact), cfg_contact),
     ]
     configs = {}

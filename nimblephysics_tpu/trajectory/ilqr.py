@@ -549,6 +549,11 @@ def solve_contact_mpc_batch(
             block_b=block_b, classes=classes,
         )
         u = sol.u
+    # the returned classes warm-start the NEXT replan (the reference's
+    # cached LCP solution carried across replans, MPCLocal.cpp:255-300);
+    # on the pointwise path one warm fixed-point round suffices
+    if class_refresh == "pointwise":
+        return sol, classes_b(x0_flat, u, warm=classes)
     return sol, classes_b(x0_flat, u)
 
 
