@@ -196,6 +196,7 @@ def _contact_bench(model, s0_flat_fn, H, B, cfg, task):
     from nimblephysics_tpu.ops.collide import total_slots
 
     refresh = "pointwise" if total_slots(model) > 0 else "rollout"
+    refresh = os.environ.get("BENCH_REFRESH", refresh)
 
     if refresh == "pointwise":
         # warm-started MPC serving: the mode classes thread across

@@ -140,6 +140,7 @@ def build_constraint_system(
     contacts: ContactSlots,
     servo_cmd: Optional[jax.Array] = None,
     planner: bool = False,
+    spd_solve: Optional[bool] = None,
 ):
     """Assemble J, A, b, bounds for the padded boxed LCP.
 
@@ -228,8 +229,13 @@ def build_constraint_system(
             lo_act = jnp.ones(len(Ld), dtype)
             hi_act = jnp.ones(len(Ld), dtype)
         else:
-            lo_act = ((q[d_idx] - model.q_lower[d_idx]) <= 0.0).astype(dtype)
-            hi_act = ((q[d_idx] - model.q_upper[d_idx]) >= 0.0).astype(dtype)
+            # E @ q, not q[d_idx]: the traced-operand gather is not
+            # lane-evaluable (the fused class-rollout kernel runs this
+            # NON-planner assembly); the model-parameter gathers below are
+            # const-only and get hoisted out of kernels.
+            q_L = E @ q
+            lo_act = ((q_L - model.q_lower[d_idx]) <= 0.0).astype(dtype)
+            hi_act = ((q_L - model.q_upper[d_idx]) >= 0.0).astype(dtype)
         J_lim = jnp.concatenate(
             [lo_act[:, None] * E, -hi_act[:, None] * E], axis=0
         )
@@ -338,7 +344,9 @@ def build_constraint_system(
         fscale = jnp.concatenate([fscale, jnp.zeros(len(Cd), dtype)])
 
     M = dyn.mass_matrix(model, q, kin=kin)
-    if planner and nq <= 40:
+    if spd_solve is None:
+        spd_solve = planner and nq <= 40
+    if spd_solve:
         # pivot-free unrolled SPD solve: keeps the planner assembly free of
         # the serial pivoting loops jnp.linalg.solve lowers to on TPU (the
         # `lu` primitive is also not lane-evaluable — Atlas-study wall #3).

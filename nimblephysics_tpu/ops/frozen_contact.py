@@ -249,6 +249,63 @@ def classify_points(model: Model, xs_flat: jax.Array, taus: jax.Array,
     return f(xs_flat, taus, x_warm)
 
 
+def fused_class_rollout_ok(model: Model) -> bool:
+    """True when the FULL constrained step (non-planner assembly + direct
+    boxed LCP + classify) is lane-evaluable, so the per-replan mode
+    rollout can run as one fused Pallas kernel (`ops/pallas_rollout.
+    rollout_classes_pallas`) instead of a T-step XLA scan of tiny ops —
+    the measured bottleneck of limits-only replans (1.39 s of a 1.45 s
+    cartpole-limits replan at B=2048, round 5). Conditions: no contact
+    slots (frictional contact needs the PGS sweep loop), no loop
+    closures (logm_so3 branch select), no servo commands plumbed, linear
+    position integration, and the pivot-free mass solve's size cap."""
+    from nimblephysics_tpu.ops.collide import total_slots
+
+    return (
+        total_slots(model) == 0
+        and not model.loops
+        and not model.servo_dofs
+        and model.nq <= 40
+        and all(t not in ("ball", "free") for t in model.joint_types)
+    )
+
+
+def step_with_classes_for_trace(model: Model):
+    """Lane-safe FULL constrained step returning (x', cmask, us) — the
+    body of the fused class-rollout kernel. Exact same math as
+    `contact_step(..., return_info=True)` for models passing
+    `fused_class_rollout_ok` (direct active-set LCP, the limits/Coulomb
+    path), with the lane-evaluable solver/classify variants."""
+    from nimblephysics_tpu.ops.lcp import (
+        classify_lane,
+        direct_boxed_solve_lane,
+    )
+    from nimblephysics_tpu.ops.pallas_linearize import _tau_stack
+
+    findex = lcp_findex(model)
+
+    def step_fn(x, u):
+        s = State.from_flat(x)
+        q, v = s.q, s.v
+        tau = _tau_stack(model, u, x.dtype)
+        kin0 = dyn.forward_kinematics(model, q)
+        qdd = dyn.aba(model, q, v, tau, kin=kin0)
+        v_star = v + model.dt * qdd
+        contacts = detect_contacts(model, kin0.T_wb)
+        J, A, b, lo, hi, fscale, Minv_Jt = build_constraint_system(
+            model, q, v_star, kin0, contacts, None, planner=False,
+            spd_solve=True,
+        )
+        x_imp = direct_boxed_solve_lane(A, b, lo, hi)
+        v_next = v_star + Minv_Jt @ x_imp
+        q_next = step_mod.integrate_positions(model, q, v)
+        cl, up, sgn = classify_lane(x_imp, lo, hi, fscale, findex)
+        x2 = jnp.concatenate([q_next, v_next])
+        return x2, cl.astype(x.dtype), up.astype(x.dtype) * sgn
+
+    return step_fn
+
+
 def rollout_classes(model: Model, state0: State, actions: jax.Array):
     """Full-LCP rollout that records the per-step mode sequence.
 

@@ -405,6 +405,62 @@ def _dot_general_unrolled(lhs, rhs, lc, rc, bt: Tuple[int, ...]):
     return out
 
 
+def _dot_general_reduce_chunked(lhs, rhs, lc, rc, bt, cchunk):
+    """Materialize-and-reduce contraction (single contraction dim, no
+    dot-batch dims): operands transposed to (free..., c), broadcast to
+    (lfree..., rfree..., c, bt), multiplied, and reduce_sum'd over the
+    contraction axis — which is a LEADING (vreg-array) dim relative to
+    the sublane+lane batch tail, the layout-safe reduction direction
+    (see _REDUCE_OPS). The contraction is walked in chunks of `cchunk`
+    so the materialized product stays VMEM-bounded.
+
+    vs `_dot_general_unrolled`: same FLOPs, but csize/cchunk big ops
+    instead of csize serial multiply-adds — for the large (m ~ 100)
+    matvecs of humanoid-class contact solves this cuts the emitted
+    equation count ~100x (the Mosaic compile envelope is equation-
+    bound) and sidesteps the serial-FMA instruction-latency chain that
+    measured ~4.7 cycles/instr on the bench kernels."""
+    nbt = len(bt)
+    (cd,) = lc
+    (rcd,) = rc
+    csize = lhs.shape[cd]
+    lfree = [d for d in range(lhs.ndim - nbt) if d != cd]
+    rfree = [d for d in range(rhs.ndim - nbt) if d != rcd]
+    l_perm = lfree + [cd] + list(range(lhs.ndim - nbt, lhs.ndim))
+    r_perm = rfree + [rcd] + list(range(rhs.ndim - nbt, rhs.ndim))
+    lt = _lane_transpose(lhs, l_perm, nbt)
+    rt = _lane_transpose(rhs, r_perm, nbt)
+    nlf, nrf = len(lfree), len(rfree)
+    lfs = lt.shape[:nlf]
+    rfs = rt.shape[:nrf]
+    out = None
+    for off in range(0, csize, cchunk):
+        n = min(cchunk, csize - off)
+        ls = jax.lax.slice_in_dim(lt, off, off + n, axis=nlf)
+        rs = jax.lax.slice_in_dim(rt, off, off + n, axis=nrf)
+        full = lfs + rfs + (n,) + bt
+        rank = len(full)
+        l_dims = tuple(range(nlf)) + tuple(range(nlf + nrf, rank))
+        r_dims = tuple(range(nlf, rank))
+        prod = jax.lax.broadcast_in_dim(ls, full, l_dims) * \
+            jax.lax.broadcast_in_dim(rs, full, r_dims)
+        term = jnp.sum(prod, axis=nlf + nrf)
+        out = term if out is None else out + term
+    return out
+
+
+# Contraction lowering policy: contractions with index-set size below
+# _REDUCE_MIN_C use the unrolled slice-FMA form (proven on every bench
+# model; tiny matvecs are latency-comparable and the materialized form
+# has per-op overhead). At or above it, single-dim contractions use the
+# chunked materialize-and-reduce form, with the transient product capped
+# at _REDUCE_MAT_CAP values per lane (VMEM bound; chunking the
+# contraction keeps big matvecs on the reduce path while matrix-matrix
+# products whose free set is already large fall back to the unroll).
+_REDUCE_MIN_C = 32
+_REDUCE_MAT_CAP = 16384
+
+
 def _dot_general_lanes(lhs, rhs, dimension_numbers, B: BShape):
     """dot_general with both operands batched on trailing batch axes,
     lowered for the VPU (the contracted dims are tiny physics dims, the
@@ -417,7 +473,16 @@ def _dot_general_lanes(lhs, rhs, dimension_numbers, B: BShape):
     lfree = [d for d in range(lhs_rank) if d not in lc and d not in lb]
     rfree = [d for d in range(rhs_rank) if d not in rc and d not in rb]
     if lc and not lb:
-        # real contractions: ALWAYS unrolled (see _dot_general_unrolled)
+        csize = int(np.prod([lhs.shape[d] for d in lc]))
+        out_free = int(np.prod([lhs.shape[d] for d in lfree], dtype=np.int64)
+                       * np.prod([rhs.shape[d] for d in rfree],
+                                 dtype=np.int64))
+        if (len(lc) == 1 and nbt >= 2 and csize >= _REDUCE_MIN_C):
+            cchunk = min(csize, max(1, _REDUCE_MAT_CAP // max(out_free, 1)))
+            if cchunk >= 8:
+                return _dot_general_reduce_chunked(lhs, rhs, lc, rc, bt,
+                                                   cchunk)
+        # small/irregular contractions: unrolled slice-FMA form
         return _dot_general_unrolled(lhs, rhs, lc, rc, bt)
     # outer products (nc==0) or dot-batch dims: materialize form.
     # out layout: batch..., lfree..., rfree..., bt

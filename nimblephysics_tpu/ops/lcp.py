@@ -294,6 +294,99 @@ def direct_boxed_solve(
     return jnp.where(better_p, x_pol, best_x)
 
 
+def direct_boxed_solve_lane(
+    A: jax.Array,
+    b: jax.Array,
+    lo_const: jax.Array,
+    hi_const: jax.Array,
+    rounds: int = 3,
+    polish_sweeps: int = 8,
+) -> jax.Array:
+    """Lane-evaluable variant of `direct_boxed_solve` (same active-set
+    round structure) for the fused class-rollout kernels: the round scan
+    is unrolled (rounds is tiny), the pseudoinverse becomes a regularized
+    normal-equation solve through the unrolled SPD path, and the PGS
+    polish unrolls its sweeps — no control flow, no gather, no pivoting,
+    so `ops/lanevmap.lane_eval` can emit it inside a Pallas kernel."""
+    m = b.shape[0]
+    dtype = b.dtype
+    eye = jnp.eye(m, dtype=dtype)
+    eps = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-5, dtype)
+
+    def comp_residual(x):
+        w = A @ x - b
+        tol = jnp.asarray(1e-10 if dtype == jnp.float64 else 1e-6, dtype)
+        at_lo = x <= lo_const + tol
+        at_hi = x >= hi_const - tol
+        r = jnp.where(
+            at_lo, jnp.maximum(0.0, -w),
+            jnp.where(at_hi, jnp.maximum(0.0, w), jnp.abs(w)),
+        )
+        return jnp.max(r, initial=0.0)
+
+    def subsolve(i_mask, x):
+        x_bound = jnp.clip(x, lo_const, hi_const) * (1.0 - i_mask)
+        rhs = i_mask * (b - A @ x_bound)
+        Af = i_mask[:, None] * A * i_mask[None, :] + eye * (1.0 - i_mask)
+        scale = jnp.maximum(jnp.max(jnp.abs(Af)), 1.0)
+        AtA = Af.T @ Af + (eps * scale * scale) * eye
+        x_int = linalg_small.solve_spd(AtA, Af.T @ rhs)
+        return x_int * i_mask + x_bound
+
+    interior = jnp.ones_like(b) > 0.0
+    x = jnp.zeros_like(b)
+    best_x = jnp.clip(x, lo_const, hi_const)
+    best_res = comp_residual(best_x)
+    for _ in range(rounds):
+        x_new = subsolve(interior.astype(dtype), x)
+        w = A @ x_new - b
+        below = x_new <= lo_const
+        above = x_new >= hi_const
+        x = jnp.clip(x_new, lo_const, hi_const)
+        want_in = (below & (w < 0.0)) | (above & (w > 0.0))
+        interior = (~below & ~above) | want_in
+        res = comp_residual(x)
+        better = res < best_res
+        best_x = jnp.where(better, x, best_x)
+        best_res = jnp.where(better, res, best_res)
+    # unrolled projected Gauss-Seidel polish (rows static, no coupling)
+    x = best_x
+    diag = jnp.sum(A * eye, axis=-1)  # gather-free diagonal (lane-safe)
+    inv_diag = jnp.where(jnp.abs(diag) > 1e-12, 1.0 / diag, 0.0)
+    for _ in range(polish_sweeps):
+        for i in range(m):
+            resid = A[i] @ x - b[i]
+            xi = jnp.clip(x[i] - resid * inv_diag[i],
+                          lo_const[i], hi_const[i])
+            # one-hot masked row update: .at[i].set lowers to scatter,
+            # which is not lane-evaluable
+            x = x + eye[i] * (xi - x[i])
+    better = comp_residual(x) < best_res
+    return jnp.where(better, x, best_x)
+
+
+def classify_lane(x, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
+    """`_classify` with the friction-coupling gather done at TRACE time
+    (findex is static) — lane-evaluable."""
+    coupled = jnp.asarray([f >= 0 for f in findex])
+    xn = jnp.stack([x[max(f, 0)] for f in findex])
+    normal_clamp = (~coupled) & (x > CLAMPING_THRESHOLD) & (hi_const > _BIG / 2)
+    f_bound = fscale * jnp.maximum(xn, 0.0)
+    fric_active = coupled & (xn > CLAMPING_THRESHOLD)
+    at_bound = jnp.abs(jnp.abs(x) - f_bound) <= CLAMPING_THRESHOLD * jnp.maximum(
+        1.0, f_bound
+    )
+    fric_clamp = fric_active & ~at_bound
+    fric_upper = fric_active & at_bound
+    bounded = (~coupled) & (hi_const < _BIG / 2)
+    inside = (x > lo_const + CLAMPING_THRESHOLD) & (x < hi_const - CLAMPING_THRESHOLD)
+    bounded_clamp = bounded & inside
+    bilateral = (~coupled) & (lo_const < -_BIG / 2) & (hi_const > _BIG / 2)
+    clamping = normal_clamp | fric_clamp | bounded_clamp | bilateral
+    upper_sign = jnp.sign(x) * fscale
+    return clamping, fric_upper, upper_sign
+
+
 def lcp_residual(A, x, b, lo_const, hi_const, fscale, findex: Tuple[int, ...]):
     """Boxed-complementarity residual of a candidate solution, with
     friction-coupled bounds resolved (the convergence measure the

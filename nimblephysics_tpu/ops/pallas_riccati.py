@@ -262,6 +262,11 @@ def riccati_backward_pallas(
     est_live = 10 * (nx * nx + na * na + na * nx + nx)
     while block_b > 256 and est_live * 4 * block_b > (8 << 20):
         block_b //= 2
+    # humanoid-scale state dims (nx = 66 measured, round-5 Atlas bisect)
+    # overflow scoped VMEM even at 256 lanes: allow one full lane row
+    # before giving up
+    while block_b > 128 and est_live * 4 * block_b > (40 << 20):
+        block_b //= 2
     vmem_limit = min(100 << 20, max(16 << 20, 8 * est_live * 4 * block_b))
     B_pad = -(-B // block_b) * block_b
     pb = B_pad - B

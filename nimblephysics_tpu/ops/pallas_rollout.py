@@ -102,6 +102,142 @@ def _rollout_kernel(
         ), (1,))
 
 
+def _classes_kernel(
+    lf: LaneFn, nx: int, na: int, m: int, t_chunk: int, n_chunks: int,
+    T: int, bt: tuple,
+    *refs,
+):
+    n_c = lf.n_consts
+    const_refs = refs[:n_c]
+    steps_ref, x0_ref = refs[n_c: n_c + 2]
+    out_ref, carry_s = refs[n_c + 2:]
+
+    c = pl.program_id(1)
+    cvals = [cr[...] for cr in const_refs]
+
+    @pl.when(c == 0)
+    def _():
+        x0 = jax.lax.squeeze(x0_ref[...], (1,))
+        init = [x0[i] for i in range(nx)]
+        init += [jnp.zeros_like(init[0])] * (carry_s.shape[0] - nx)
+        carry_s[...] = jnp.stack(init)
+
+    carry = carry_s[...]
+    x = [carry[i] for i in range(nx)]
+    for r in range(t_chunk):
+        st = jax.lax.squeeze(steps_ref[r], (1,))
+        t_idx = c * t_chunk + r
+        xv = jnp.stack(x)
+        u_t = st[:na]
+        x2, cm, us = lf.call(cvals, [xv, u_t], bt)
+        live = (jnp.full(bt, t_idx, jnp.int32) < T)
+        x = [jnp.where(live, x2[i], x[i]) for i in range(nx)]
+        row = jnp.concatenate([jnp.stack(x), cm, us], axis=0)
+        pad = out_ref.shape[1] - row.shape[0]
+        if pad:
+            row = jnp.concatenate(
+                [row, jnp.zeros((pad,) + bt, row.dtype)], axis=0
+            )
+        out_ref[r] = jax.lax.expand_dims(row, (1,))
+
+    row = [x[i] for i in range(nx)]
+    row += [jnp.zeros_like(row[0])] * (carry_s.shape[0] - nx)
+    carry_s[...] = jnp.stack(row)
+
+
+def rollout_classes_pallas(
+    model: Model,
+    x0: jax.Array,       # (B, nx)
+    u: jax.Array,        # (B, T, na)
+    block_b: int = 1024,
+    t_chunk: int = None,
+    interpret: bool = None,
+):
+    """The per-replan full-LCP mode rollout as ONE fused Pallas kernel:
+    worlds on lanes, the T-step time loop chunked on the inner grid dim
+    with the state carry in VMEM scratch — same kernel structure as
+    `rollout_gains_pallas`, but the step is the FULL constrained step
+    (direct boxed LCP) and the outputs are the per-step class masks.
+
+    Replaces the sequential XLA scan of `frozen_contact.rollout_classes`
+    for models passing `fused_class_rollout_ok` (measured: the scan was
+    1.39 s of a 1.45 s cartpole-limits replan at B=2048, T=100 — a
+    launch-latency chain of tiny vmapped ops, the exact pathology the
+    rollout kernel exists to remove). Returns (xs (B, T, nx) POST-step
+    states, FrozenClasses with (B, T, m) leading axes).
+    """
+    from nimblephysics_tpu.ops.contact import lcp_dim
+    from nimblephysics_tpu.ops.frozen_contact import (
+        FrozenClasses,
+        step_with_classes_for_trace,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, na = u.shape
+    nx = x0.shape[-1]
+    m = lcp_dim(model)
+    dtype = x0.dtype
+
+    z = lambda n: jnp.zeros(n, dtype)  # noqa: E731
+    lf = LaneFn(step_with_classes_for_trace(model), (z(nx), z(na)))
+    from nimblephysics_tpu.ops.lanevmap import count_eqns, fit_block
+    n_eqns = count_eqns(lf.closed.jaxpr)
+    block_b = fit_block(block_b, n_eqns, budget=10_000_000)
+    block_b = max(128, (block_b // 128) * 128)
+    S_b = block_b // 128
+
+    L = B
+    L_pad = -(-L // block_b) * block_b
+    E_pad = _pad8(na)
+    Eo_pad = _pad8(nx + 2 * m)
+    if t_chunk is None:
+        budget = (8 << 20) - 6 * n_eqns * block_b
+        per_step = (E_pad + Eo_pad) * block_b * 4 * 2
+        t_chunk = 1 if interpret else max(
+            1, min(T, budget // max(per_step, 1))
+        )
+    n_chunks = -(-T // t_chunk)
+    T_pad = n_chunks * t_chunk
+
+    rows = u.transpose(1, 2, 0)                          # (T, na, B)
+    rows = jnp.pad(rows, ((0, T_pad - T), (0, E_pad - na), (0, L_pad - L)))
+    packed = rows.reshape(T_pad, E_pad, L_pad // block_b, S_b, 128)
+    x0_l = jnp.pad(x0.T, ((0, 0), (0, L_pad - L)))
+    x0_l = x0_l.reshape(nx, L_pad // block_b, S_b, 128)
+
+    Lb = L_pad // block_b
+    grid = (Lb, n_chunks)
+    kernel = partial(_classes_kernel, lf, nx, na, m, t_chunk, n_chunks, T,
+                     (S_b, 128))
+    out_p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[_const_spec(cs) for cs in lf.consts2d]
+        + [
+            pl.BlockSpec((t_chunk, E_pad, 1, S_b, 128),
+                         lambda lb, cc: (cc, 0, lb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nx, 1, S_b, 128), lambda lb, cc: (0, lb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_chunk, Eo_pad, 1, S_b, 128),
+                               lambda lb, cc: (cc, 0, lb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (T_pad, Eo_pad, L_pad // block_b, S_b, 128), dtype),
+        scratch_shapes=[pltpu.VMEM((_pad8(nx), S_b, 128), dtype)],
+        interpret=interpret,
+    )(*lf.consts2d, packed, x0_l)
+    out_p = out_p.reshape(T_pad, Eo_pad, L_pad)
+
+    rows = out_p[:T, :, :L].transpose(2, 0, 1)           # (B, T, Eo_pad)
+    xs = rows[:, :, :nx]
+    cm = rows[:, :, nx: nx + m]
+    us = rows[:, :, nx + m: nx + 2 * m]
+    return xs, FrozenClasses(cmask=cm, us=us)
+
+
 def rollout_gains_pallas(
     model: Model,
     running_cost: Callable,

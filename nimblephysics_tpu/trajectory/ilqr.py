@@ -66,7 +66,12 @@ class ILQRConfig:
     #     {"xla_tpu_scoped_vmem_limit_kib": 98304}) as bench.py does).
     #   "jvp": force the monolithic JVP lane kernel (contact too).
     #   "xla": always the vmapped jacfwd sweep.
+    #   "chain": the CHAINED row-VJP kernels (ops/lane_chain.py) — for
+    #     humanoid-class models whose split halves exceed the Mosaic
+    #     compile envelope (Atlas, nq >= ~30); `chain_budget` bounds the
+    #     per-kernel emitted-op estimate.
     linearize: str = "auto"
+    chain_budget: int = 18000
     # PCG depth of the frozen-contact solve in the PLANNER kernels
     # (rollout + linearize). None = m+6, the exact-in-m default the plant
     # uses. With Jacobi preconditioning and identity rows on non-clamping
@@ -507,6 +512,25 @@ def solve_contact_mpc_batch(
 
     classes_b = jax.vmap(classes_of)
 
+    if class_refresh == "rollout":
+        from nimblephysics_tpu.ops.frozen_contact import (
+            fused_class_rollout_ok,
+        )
+
+        if fused_class_rollout_ok(model):
+            # the whole T-step full-LCP mode rollout as ONE Pallas kernel
+            # (worlds on lanes) — the XLA scan of tiny vmapped steps was
+            # the measured replan bottleneck for limits-only models
+            from nimblephysics_tpu.ops.pallas_rollout import (
+                rollout_classes_pallas,
+            )
+
+            def classes_b(x0f, u):  # noqa: F811 — fused override
+                _, cl = rollout_classes_pallas(
+                    model, x0f, u, block_b=block_b
+                )
+                return cl
+
     if class_refresh == "pointwise":
         from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
 
@@ -516,14 +540,38 @@ def solve_contact_mpc_batch(
         xs_dummy = jnp.zeros((B, T + 1, 2 * model.nq), dtype)
         tau_b = jax.vmap(jax.vmap(model.action_to_tau))
 
+        if config.rollout == "auto":
+            def refresh_rollout(cl, u):
+                xss, _, _ = rollout_gains_pallas(
+                    model, running_cost, final_cost, x0_flat, xs_dummy, u,
+                    K0, k0, one_alpha, block_b=block_b,
+                    classes=(cl.cmask, cl.us),
+                    cg_iters=config.planner_cg_iters,
+                )
+                return xss[0][:, :-1]             # (B, T, nx) pre-step
+        else:
+            # XLA open-loop frozen rollout (humanoid-scale fallback: the
+            # one-kernel rollout exceeds the Mosaic envelope, the XLA
+            # scan compiles — round-5 Atlas bisect)
+            dynf = _make_frozen_dyn(model, cg_iters=config.planner_cg_iters)
+            idx_r = jnp.asarray(model.actuated, dtype=jnp.int32)
+            u_lo_r = model.tau_lower[idx_r]
+            u_hi_r = model.tau_upper[idx_r]
+
+            def refresh_rollout(cl, u):
+                def one(x0f, uu, cm, us):
+                    def body(x, inp):
+                        ut, c1, u1 = inp
+                        ut = jnp.clip(ut, u_lo_r, u_hi_r)
+                        return dynf(x, ut, (c1, u1)), x
+
+                    _, xs = jax.lax.scan(body, x0f, (uu, cm, us))
+                    return xs                      # (T, nx) pre-step
+
+                return jax.vmap(one)(x0_flat, u, cl.cmask, cl.us)
+
         def refresh(cl, u):
-            xss, _, _ = rollout_gains_pallas(
-                model, running_cost, final_cost, x0_flat, xs_dummy, u,
-                K0, k0, one_alpha, block_b=block_b,
-                classes=(cl.cmask, cl.us),
-                cg_iters=config.planner_cg_iters,
-            )
-            xs = xss[0][:, :-1]                   # (B, T, nx) pre-step
+            xs = refresh_rollout(cl, u)
             cl2, _ = classify_points(model, xs, tau_b(u))
             return cl2
 
@@ -550,10 +598,16 @@ def solve_contact_mpc_batch(
         )
         u = sol.u
     # the returned classes warm-start the NEXT replan (the reference's
-    # cached LCP solution carried across replans, MPCLocal.cpp:255-300);
-    # on the pointwise path one warm fixed-point round suffices
-    if class_refresh == "pointwise":
-        return sol, classes_b(x0_flat, u, warm=classes)
+    # cached LCP solution carried across replans, MPCLocal.cpp:255-300).
+    # They are classified directly on sol.x — the winning closed-loop
+    # trajectory the solve just produced under `classes` — instead of
+    # paying one more fused rollout to re-create the same states
+    # (round-5 utilization lever: fold the final refresh's rollout into
+    # the solve's own line-search output).
+    if m > 0:
+        tau_bo = jax.vmap(jax.vmap(model.action_to_tau))
+        cl_out, _ = classify_points(model, sol.x[:, :-1], tau_bo(sol.u))
+        return sol, cl_out
     return sol, classes_b(x0_flat, u)
 
 
@@ -640,12 +694,22 @@ def ilqr_solve_batch(
     from nimblephysics_tpu.ops.contact import lcp_dim
 
     can_fuse = na > 0 and (lcp_dim(model) == 0 or classes is not None)
-    fused_lin = config.linearize in ("auto", "jvp", "split", "vjp") and can_fuse
+    fused_lin = config.linearize in ("auto", "jvp", "split", "vjp",
+                                     "chain") and can_fuse
     fused = config.rollout == "auto" and can_fuse
     cl_kernel = None if classes is None else cl_bt
     if fused:
         from nimblephysics_tpu.ops.pallas_rollout import rollout_gains_pallas
-    if fused_lin and classes is not None and config.linearize in (
+    if fused_lin and classes is not None and config.linearize == "chain":
+        from nimblephysics_tpu.ops.lane_chain import chained_linearize_vjp
+
+        def dyn_jac(xs_bt, u_bt):
+            return chained_linearize_vjp(
+                model, xs_bt, u_bt, cl_kernel,
+                cg_iters=config.planner_cg_iters,
+                budget=config.chain_budget,
+            )
+    elif fused_lin and classes is not None and config.linearize in (
             "auto", "split", "vjp"):
         from nimblephysics_tpu.ops.pallas_linearize import (
             linear_position_update,
@@ -736,6 +800,12 @@ def ilqr_solve_batch(
         lxx, luu, lux = cost_hess(xs[:, :-1], u, tsb)
         Vx_T = jax.vmap(jax.grad(final_cost))(xs[:, -1])
         Vxx_T = jax.vmap(jax.hessian(final_cost))(xs[:, -1])
+        if config.riccati == "parallel":
+            # O(log T) associative-scan LQR in XLA — the humanoid-scale
+            # fallback when the lane-Riccati kernel exceeds VMEM
+            return jax.vmap(_parallel_riccati)(
+                fx, fu, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg
+            )
         return riccati_backward_pallas(
             fx, fu, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, block_b=block_b
         )
