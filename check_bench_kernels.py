@@ -146,11 +146,22 @@ def _kernel_isolated_gate(name, model, x0, u0, running, final, H, B, iters):
     cost_x = np.asarray(sol_x.cost, np.float64)
     scale = max(1e-9, float(np.abs(cost_x).mean()))
     gap = (cost_f - cost_x) / scale
+    # TRIMMED mean (10% per tail): a real kernel regression shifts EVERY
+    # sample — including the quiet middle of the distribution — while the
+    # iteration-path chaos that survives even the common-random-number
+    # design (tiny f32 fx differences flipping line-search choices on
+    # hard worlds) lives in the tails. The trimmed statistic keeps full
+    # sensitivity to a uniform +1% error and removes the tail variance
+    # that would otherwise rob the gate of power.
+    lo, hi = np.quantile(gap, (0.10, 0.90))
+    trm = gap[(gap >= lo) & (gap <= hi)]
     u_scale = max(1e-6, float(np.abs(np.asarray(sol_x.u)).max()))
     return dict(
         name=name + "/kernel-isolated", H=H, B=B, iters=iters,
-        mean_cost_gap=float(gap.mean()),
-        gap_se=float(gap.std() / np.sqrt(len(gap))),
+        mean_cost_gap=float(np.mean(trm)),
+        gap_se=float(np.std(trm) / np.sqrt(max(1, len(trm)))),
+        untrimmed_gap=float(gap.mean()),
+        untrimmed_se=float(gap.std() / np.sqrt(len(gap))),
         cost_dev_scaled=float(np.abs(gap).mean()),
         frac_fused_worse_1pct=float((gap > 0.01).mean()),
         frac_ref_worse_1pct=float((gap < -0.01).mean()),
@@ -231,11 +242,26 @@ def _elementwise_kernel_gates(name, model, x0, u0, running, final, H, B):
         raw max is reported but noise-dominated (single ill-conditioned
         elements — e.g. near-singular Quu worlds — legitimately deviate
         at 1e-2 between two CORRECT f32 evaluations)."""
-        a = np.asarray(a, np.float64)
-        r = np.asarray(r, np.float64)
+        a = np.asarray(a, np.float64).ravel()
+        r = np.asarray(r, np.float64).ravel()
+        # divergent closed-loop candidates legitimately reach inf/NaN on
+        # unstable worlds (alpha=1 full-gain rollouts); both paths must
+        # agree on WHICH entries those are, and the comparison runs over
+        # the finite set
+        fin_a, fin_r = np.isfinite(a), np.isfinite(r)
+        assert (fin_a == fin_r).mean() > 0.999, (
+            "finiteness mismatch between fused and XLA paths")
+        keep = fin_a & fin_r
+        a, r = a[keep], r[keep]
         s = max(1e-9, float(np.abs(r).max()))
-        e = np.abs(a - r).ravel() / s
-        return (float(np.quantile(e, 0.5)), float(np.quantile(e, 0.99)),
+        e = np.abs(a - r) / s
+        # quantiles over NON-(structurally-)ZERO reference elements only:
+        # a uniform multiplicative kernel error leaves exact-zero entries
+        # exactly zero, so including them would let a >50%-sparse Jacobian
+        # hide a uniform error from the median
+        nz = np.abs(r) > 1e-9 * s
+        en = e[nz] if nz.any() else e
+        return (float(np.quantile(en, 0.5)), float(np.quantile(en, 0.99)),
                 float(e.max()))
 
     out["lin_fx_rel"] = dev(fx_f, fx_r)
@@ -465,8 +491,12 @@ sample sizes, so the GATING now rests on two common-random-number
 designs where everything except the kernel under test is held fixed:
 (1) `*/kernel-isolated` — the fused pipeline vs the SAME pipeline with
 only the linearize kernel swapped for the XLA jacfwd sweep, full bench
-batch (2048) on BOTH sides (closing the round-4 subset caveat); its SE
-must resolve 0.5% (2·SE < 5e-3) or the gate FAILS for lack of power;
+batch (2048) on BOTH sides (closing the round-4 subset caveat), gated on
+the 10%-per-tail TRIMMED mean gap: a true kernel regression shifts every
+sample including the quiet middle, while the line-search chaos that
+survives even this common-random-number design lives in the tails
+(untrimmed mean/SE reported alongside); the trimmed SE must resolve
+0.5% (2·SE < 5e-3) or the gate FAILS for lack of power;
 (2) `*/elementwise` — every fused Pallas kernel vs its XLA twin on
 identical inputs at bench shape, gated at 2e-3/5e-3 relative (~100x the
 f32 floor). A +1% true kernel regression fails both."""

@@ -695,26 +695,51 @@ def _apply_batch(T: Transform, pts: jax.Array) -> jax.Array:
     return pts @ T.R.T + T.p
 
 
+_TIE_EPS = 1e-6
+
+
 def _topk_slots(depths, points, normals, k):
-    """Select the k deepest candidate slots (values differentiable through
-    the gather; index switches mirror the reference's discrete contact-set
-    changes)."""
-    vals, idx = jax.lax.top_k(depths, k)
-    return (
-        [points[idx[i]] for i in range(k)],
-        [normals[idx[i]] for i in range(k)],
-        [vals[i] for i in range(k)],
-    )
+    """Select the k deepest candidate slots by k rounds of masked
+    max-reduction + one-hot contraction — gather/top_k-free, so hull
+    narrow phases run inside the fused lane kernels (round-5 verdict #4;
+    the round-4 `top_k` + traced-index gather kept every mesh-collider
+    model off the fused planner path, BIGMODEL_STUDY.md wall 1).
+
+    Ties are broken lowest-index-first by a tiny static iota bias —
+    matching `jax.lax.top_k`'s stable order — and the reported depth is
+    the exact unbiased value (the bias only picks the slot). Values stay
+    differentiable through the one-hot contraction exactly as they were
+    through the gather."""
+    d = depths
+    iota = jnp.arange(d.shape[0], dtype=d.dtype)
+    tb = d - iota * _TIE_EPS
+    sel = jnp.zeros_like(d)
+    pts_out, ns_out, vals = [], [], []
+    neg = jnp.asarray(-1e30, d.dtype)
+    for _ in range(k):
+        dm = jnp.where(sel > 0, neg, tb)
+        oh = (dm >= jnp.max(dm)).astype(d.dtype)
+        oh = oh / jnp.maximum(jnp.sum(oh), 1.0)
+        pts_out.append(oh @ points)
+        ns_out.append(oh @ normals)
+        vals.append(jnp.sum(oh * d))
+        sel = sel + oh
+    return pts_out, ns_out, vals
 
 
 def _vertices_in_hull(v_local: jax.Array, faces: jax.Array):
     """Depth & outward face normal for each point vs a hull, in hull frame.
     faces: (F,4) with n·x + d <= 0 inside. depth > 0 means inside; when
-    outside, depth = −(max violation) so top_k still ranks correctly."""
+    outside, depth = −(max violation) so top_k still ranks correctly.
+    The worst-face normal comes from a tie-broken one-hot contraction
+    (argmax + gather is not lane-evaluable)."""
     s = v_local @ faces[:, :3].T + faces[:, 3]         # (V,F), <=0 inside
-    worst = jnp.max(s, axis=1)                          # (V,)
-    kf = jnp.argmax(s, axis=1)
-    return -worst, faces[kf, :3]
+    iota = jnp.arange(s.shape[1], dtype=s.dtype)
+    tbf = s - iota * _TIE_EPS
+    oh = (tbf >= jnp.max(tbf, axis=1, keepdims=True)).astype(s.dtype)
+    oh = oh / jnp.maximum(jnp.sum(oh, axis=1, keepdims=True), 1.0)
+    worst = jnp.sum(oh * s, axis=1)                     # (V,)
+    return -worst, oh @ faces[:, :3]
 
 
 def _convex_halfspace(sa, pb, Ta, Tb):
@@ -735,22 +760,31 @@ def _sphere_convex(pa, sb, Ta, Tb):
     verts = jnp.asarray(sb.vertices, dtype=Ta.p.dtype)  # hull-local (V,3)
     faces = jnp.asarray(sb.faces, dtype=Ta.p.dtype)
     c = Tb.inverse().apply(Ta.p)
+    iota_v = jnp.arange(verts.shape[0], dtype=verts.dtype)
 
-    def fw(x, _):
+    def fw(x):
         g = c - x
-        s = verts[jnp.argmax(verts @ g)]
+        # support vertex via tie-broken one-hot (argmax + gather is not
+        # lane-evaluable); the iteration loop is a Python unroll for the
+        # same reason (lax.scan is control flow the lane kernels reject)
+        sc = verts @ g - iota_v * _TIE_EPS
+        oh = (sc >= jnp.max(sc)).astype(verts.dtype)
+        s = (oh / jnp.maximum(jnp.sum(oh), 1.0)) @ verts
         dx = s - x
         gamma = jnp.clip(
             jnp.dot(g, dx) / jnp.maximum(jnp.dot(dx, dx), 1e-12), 0.0, 1.0
         )
-        return x + gamma * dx, None
+        return x + gamma * dx
 
-    x0 = jnp.mean(verts, axis=0)
-    x, _ = jax.lax.scan(fw, x0, None, length=32)
+    x = jnp.mean(verts, axis=0)
+    for _ in range(32):
+        x = fw(x)
     s_face = faces[:, :3] @ c + faces[:, 3]             # signed plane dists
     s_max = jnp.max(s_face)
-    kf = jnp.argmax(s_face)
-    n_f = faces[kf, :3]                                 # outward face normal
+    iota_f = jnp.arange(faces.shape[0], dtype=faces.dtype)
+    oh_f = ((s_face - iota_f * _TIE_EPS)
+            >= jnp.max(s_face - iota_f * _TIE_EPS)).astype(faces.dtype)
+    n_f = (oh_f / jnp.maximum(jnp.sum(oh_f), 1.0)) @ faces[:, :3]
     inside = s_max <= 0.0
     # Face-region exact answer: the foot point of the most-violated plane —
     # exact whenever that foot lies in the hull. FW converges slowly exactly

@@ -457,8 +457,10 @@ def _dot_general_reduce_chunked(lhs, rhs, lc, rc, bt, cchunk):
 # at _REDUCE_MAT_CAP values per lane (VMEM bound; chunking the
 # contraction keeps big matvecs on the reduce path while matrix-matrix
 # products whose free set is already large fall back to the unroll).
-_REDUCE_MIN_C = 32
-_REDUCE_MAT_CAP = 16384
+import os as _os
+
+_REDUCE_MIN_C = int(_os.environ.get("NTPU_DOT_REDUCE_MIN", "32"))
+_REDUCE_MAT_CAP = int(_os.environ.get("NTPU_DOT_REDUCE_CAP", "16384"))
 
 
 def _dot_general_lanes(lhs, rhs, dimension_numbers, B: BShape):

@@ -180,6 +180,127 @@ def run_piece(piece: str) -> None:
         out = f(xs, u)
         out.block_until_ready()
 
+    elif piece.startswith("step_compose"):
+        # compile a COMPOSITION of step chunks [a, b] in one jit (one
+        # pallas_call per chunk, chained through the packed boundaries) —
+        # isolates whether the helper dies on multi-payload programs
+        import numpy as _np
+
+        from nimblephysics_tpu.ops.lane_chain import (
+            _run_chain_lanes, _step_chain_for)
+
+        parts = piece.split("_")
+        a, b = int(parts[-2]), int(parts[-1])
+        nx = 2 * nq
+        sfc, chain = _step_chain_for(planner, m, nx, na, jnp.float32, CG,
+                                     BUDGET, False)
+
+        # truncate the chain to chunks [a, b]
+        class _Sub:
+            chunks = chain.chunks[a:b + 1]
+            bounds = chain.bounds[a:b + 1]
+            bound_metas = chain.bound_metas[a:b + 1]
+            bound_rows = chain.bound_rows[a:b + 1]
+            n_chunks = b - a + 1
+            eval_chunk = (lambda self, i, *args, **kw:
+                          chain.eval_chunk(a + i, *args, **kw))
+        sub = _Sub()
+
+        def nel(v):
+            return int(_np.prod(v.aval.shape))
+
+        in_vars = (sfc.primal_view.invars if a == 0 else chain.bounds[a - 1])
+        outs = (sfc.bound_vars if b == chain.n_chunks - 1
+                else chain.bounds[b])
+        out_meta = [(tuple(v.aval.shape), v.aval.dtype, nel(v))
+                    for v in outs]
+
+        class _SfView:
+            n_consts = sfc.n_consts
+            consts2d = sfc.consts2d
+            _cvals = staticmethod(sfc._cvals)
+            primal_view = type("V", (), {"invars": list(in_vars)})
+            bound_meta = out_meta
+            n_boundary_f32 = sum(mm[2] for mm in out_meta)
+
+        # sub's LAST chunk must emit out_meta; patch bounds alignment:
+        sub.bounds = chain.bounds[a:b] + []
+        sub.bound_metas = chain.bound_metas[a:b] + []
+        sub.bound_rows = chain.bound_rows[a:b] + []
+
+        S_b, G = 1, 2
+        rows = [nel(v) for v in in_vars]
+        args = [jnp.zeros((r, G, S_b, 128), jnp.float32) for r in rows]
+        f = jax.jit(
+            lambda *ar: _run_chain_lanes(_SfView, sub, list(ar), rows, G,
+                                         S_b, False),
+            compiler_options=copts)
+        out = f(*args)
+        out.block_until_ready()
+
+    elif piece.startswith("step_chunk"):
+        # compile ONE chunk of the chained step kernel in isolation
+        from functools import partial
+
+        import numpy as _np
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nimblephysics_tpu.ops.lane_chain import (
+            _step_chain_for, pack_rows, unpack_rows)
+        from nimblephysics_tpu.ops.pallas_linearize import _const_spec
+
+        ci = int(piece.split("_")[-1])
+        nx = 2 * nq
+        sfc, chain = _step_chain_for(planner, m, nx, na, jnp.float32, CG,
+                                     BUDGET, False)
+        in_vars = (sfc.primal_view.invars if ci == 0
+                   else chain.bounds[ci - 1])
+        outs = (sfc.bound_vars if ci == chain.n_chunks - 1
+                else chain.bounds[ci])
+
+        def nel(v):
+            return int(_np.prod(v.aval.shape))
+
+        in_meta = [(tuple(v.aval.shape), v.aval.dtype, nel(v))
+                   for v in in_vars]
+        out_meta = [(tuple(v.aval.shape), v.aval.dtype, nel(v))
+                    for v in outs]
+        rows_in = sum(mm[2] for mm in in_meta)
+        rows_out = sum(mm[2] for mm in out_meta)
+        S_b, G = 1, 2
+        bt = (S_b, 128)
+
+        def kernel(*refs):
+            const_refs = refs[:sfc.n_consts]
+            lit, pre = sfc._cvals([cr[...] for cr in const_refs])
+            packed = jax.lax.squeeze(refs[sfc.n_consts][...], (1,))
+            vals = unpack_rows(packed, in_meta, bt)
+            env = dict(zip(in_vars, vals))
+            envb = {v: True for v in in_vars}
+            o = chain.eval_chunk(ci, env, envb, bt, lit, pre)
+            refs[-1][...] = jax.lax.expand_dims(
+                pack_rows(o, out_meta, bt), (1,))
+
+        lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+            (rows, 1, S_b, 128), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM)
+        f = jax.jit(
+            lambda a: pl.pallas_call(
+                kernel, grid=(G,),
+                in_specs=[_const_spec(c) for c in sfc.consts2d]
+                + [lane_spec(rows_in)],
+                out_specs=lane_spec(rows_out),
+                out_shape=jax.ShapeDtypeStruct(
+                    (rows_out, G, S_b, 128), jnp.float32),
+                interpret=False,
+            )(*sfc.consts2d, a),
+            compiler_options=copts)
+        out = f(jnp.zeros((rows_in, G, S_b, 128), jnp.float32))
+        out.block_until_ready()
+        print(f"  chunk {ci}: est {chain.chunk_costs[ci]} "
+              f"rows_in {rows_in} rows_out {rows_out}", flush=True)
+
     else:
         raise SystemExit(f"unknown piece {piece}")
 
