@@ -59,6 +59,8 @@ def fit_inertia(
     fit_coms: bool = True,
     fit_inertias: bool = False,
     regularize: float = 1e-3,
+    com_bound: float = 0.05,
+    inertia_bound: float = 0.7,
 ) -> InertiaFitResult:
     """Fit body masses (and COMs, and with `fit_inertias` the rotational
     inertia) so root residuals vanish across the trial. Inertia is
@@ -76,10 +78,21 @@ def fit_inertia(
         d_log_I=jnp.zeros((model.num_bodies, 3), dtype=dtype),
     )
 
+    # BOUNDED perturbations (tanh trust region): the reference's IPOPT
+    # stage bounds its inertial variables for the same reason — COM and
+    # rotational inertia are weakly identified from one trial's
+    # FD-differentiated kinematics, and an unbounded least-squares fit
+    # dumps acceleration noise into them (measured: |d_log_I| exploding
+    # to ~4 logs on the Arnold walk data). Bounds: COM +-com_bound
+    # meters per axis, inertia diag scale within exp(+-inertia_bound).
+    def com_of(params):
+        return jnp.tanh(params["d_com"] / com_bound) * com_bound
+
     def moment_of(params):
         if not fit_inertias:
             return model.moment
-        S = jnp.exp(0.5 * params["d_log_I"])
+        d = jnp.tanh(params["d_log_I"] / inertia_bound) * inertia_bound
+        S = jnp.exp(0.5 * d)
         return model.moment * S[:, :, None] * S[:, None, :]
 
     def residual_frame(m2, q, v, qdd, tau_known, w=None):
@@ -95,7 +108,7 @@ def fit_inertia(
     def loss(params):
         m2 = model.replace(
             mass=jnp.exp(params["log_mass"]),
-            com=model.com + (params["d_com"] if fit_coms else 0.0),
+            com=model.com + (com_of(params) if fit_coms else 0.0),
             moment=moment_of(params),
         )
         res = _residuals(m2)
@@ -135,7 +148,7 @@ def fit_inertia(
         body, (params0, opt.init(params0)), None, length=iters
     )
     masses = jnp.exp(params["log_mass"])
-    coms = model.com + (params["d_com"] if fit_coms else 0.0)
+    coms = model.com + (com_of(params) if fit_coms else 0.0)
     moments = moment_of(params)
     m2 = model.replace(mass=masses, com=coms, moment=moments)
     res = _residuals(m2)
@@ -464,6 +477,27 @@ def run_dynamics_pipeline(
                             fit_inertias=fit_inertias)
     )()
     model2 = model1.replace(mass=fit.masses, com=fit.coms,
+                            moment=fit.moments)
+    # SECOND angular + inertia pass with the fitted inertial model — the
+    # reference alternates these stages for the same reason
+    # ("zeroLinearResidualsAndOptimizeAngular loops",
+    # DynamicsFitter.hpp:1400-1441): optimizing the root rotations
+    # against a badly-perturbed mass model walks them toward a corrupted
+    # target; the refit model makes the angular descent meaningful.
+    qs2, ang_res, ang_hist2 = jax.jit(
+        lambda: optimize_angular_residuals(
+            model2, qs2, wrenches, root_rot_dofs, all_root,
+            iters=angular_iters,
+        )
+    )()
+    ang_before = jnp.sqrt(ang_hist2[0])
+    qm, vm, am = _fd_derivatives(qs2, jnp.asarray(model.dt, dtype=dtype))
+    fit = jax.jit(
+        lambda: fit_inertia(model2, qm, vm, am, all_root,
+                            wrenches=wrenches[1:-1], iters=inertia_iters,
+                            fit_inertias=fit_inertias)
+    )()
+    model2 = model2.replace(mass=fit.masses, com=fit.coms,
                             moment=fit.moments)
     report = DynamicsReport(
         qs=qs2, masses=fit.masses, coms=fit.coms,

@@ -97,6 +97,61 @@ def emit_cost(eqn) -> int:
     return 1
 
 
+def inline_linear_solves(eqns: Sequence[Any], out_vars: Sequence[Any]):
+    """Splice every `custom_linear_solve` equation's SOLVE sub-jaxpr into
+    the flat list (forward semantics — exactly what `lane_eval` executes
+    for it; the chains are forward-only and JAX already applied the AD
+    rules). Without this the whole unrolled CG solve is ONE atomic
+    ~25k-op equation the chain splitter cannot cut — at Atlas scale that
+    single chunk alone exceeds the compile envelope (round-5 bisect).
+    Returns (new_eqns, new_out_vars); downstream references to the solve
+    outputs are rewritten to the spliced values."""
+    try:
+        from jax._src.core import Var as _Var
+    except Exception:  # pragma: no cover
+        from jax.core import Var as _Var  # type: ignore
+
+    env: Dict[Any, Any] = {}
+
+    def lk(v):
+        if isinstance(v, Literal):
+            return v
+        return env.get(v, v)
+
+    out: List[Any] = []
+    for eqn in eqns:
+        if eqn.primitive.name != "custom_linear_solve":
+            out.append(eqn.replace(invars=[lk(v) for v in eqn.invars]))
+            continue
+        cl = eqn.params["const_lengths"]
+        js = eqn.params["jaxprs"]
+        ofs = cl.matvec + cl.vecmat
+        sol_ins = eqn.invars[ofs: ofs + cl.solve]
+        b_ins = eqn.invars[ofs + cl.solve + cl.transpose_solve:]
+        sub = js.solve
+        senv: Dict[Any, Any] = {}
+        for cv, c in zip(sub.jaxpr.constvars, sub.consts):
+            senv[cv] = Literal(c, cv.aval)
+        for sv, val in zip(sub.jaxpr.invars,
+                           [lk(v) for v in list(sol_ins) + list(b_ins)]):
+            senv[sv] = val
+
+        def slk(v):
+            if isinstance(v, Literal):
+                return v
+            return senv.get(v, v)
+
+        for se in sub.jaxpr.eqns:
+            new_outs = [_Var(ov.aval) for ov in se.outvars]
+            out.append(se.replace(invars=[slk(v) for v in se.invars],
+                                  outvars=new_outs))
+            for ov, no in zip(se.outvars, new_outs):
+                senv[ov] = no
+        for ov, so in zip(eqn.outvars, sub.jaxpr.outvars):
+            env[ov] = slk(so)
+    return out, [lk(v) for v in out_vars]
+
+
 class LaneChain:
     """Cut a straight-line lane program (batched eqns only; unbatched
     values live in the parent's pre_env) into chunks under an emitted-op
@@ -195,6 +250,9 @@ class LaneChain:
                   and nel(v) > 0 and v not in self.extern]
             bv.sort(key=lambda v: (order[v], str(v)))
             self.bounds.append(bv)
+        self._order = order
+        self._remat_pass()
+
         self.bound_metas = [
             [(tuple(v.aval.shape), v.aval.dtype, nel(v)) for v in bv]
             for bv in self.bounds
@@ -207,9 +265,140 @@ class LaneChain:
         self.bound_rows = [sum(m[2] for m in metas)
                            for metas in self.bound_metas]
 
+    def _remat_pass(self):
+        """Boundary remat: duplicate cheap producers into the consumer
+        chunk when shipping their INPUTS across the cut is smaller than
+        shipping their outputs (e.g. an (m, m) transpose or mask product
+        re-derived from the (m, m) source it sits next to, or from
+        (m,)-vectors). At humanoid scale the mid-CG boundaries otherwise
+        carry the whole Qf/QfT/R matrix cohort (~60k floats/point —
+        double-buffered boundary blocks alone exceed VMEM). Re-run after
+        ANY boundary recomputation (retarget_outputs does — recomputed
+        liveness resurrects vars whose duplicates already exist
+        downstream)."""
+        import numpy as _np
+
+        def nel(v):
+            return int(_np.prod(v.aval.shape))
+
+        batched = self.batched
+        order = self._order
+        if not hasattr(self, "_remat_done"):
+            self._remat_done = set()
+        invar_set = {v for v, b in zip(self.in_vars, self.in_batched) if b}
+        for ci in range(len(self.bounds)):
+            bset = set(self.bounds[ci])
+            prev_b = set(self.bounds[ci - 1]) if ci > 0 else set()
+            produced_in_ci = set()
+            for eqn in self.chunks[ci]:
+                produced_in_ci.update(eqn.outvars)
+            moved: List[Any] = []
+            moved_cost = 0
+            for eqn in reversed(self.chunks[ci]):
+                if moved_cost > 4000:
+                    break
+                if (id(eqn), ci) in self._remat_done:
+                    continue
+                outs_in_b = [ov for ov in eqn.outvars if ov in bset]
+                if not outs_in_b:
+                    continue
+                need, ok = [], True
+                for iv in eqn.invars:
+                    if (isinstance(iv, Literal) or iv in self.extern
+                            or iv not in batched or iv in bset
+                            or iv in need):
+                        continue
+                    avail = (iv in produced_in_ci or iv in prev_b
+                             or (ci == 0 and iv in invar_set))
+                    if not avail:
+                        ok = False
+                        break
+                    need.append(iv)
+                if not ok:
+                    continue
+                gain = sum(nel(ov) for ov in outs_in_b)
+                cost = sum(nel(iv) for iv in need)
+                if gain <= cost:
+                    continue
+                for ov in outs_in_b:
+                    bset.discard(ov)
+                for iv in need:
+                    bset.add(iv)
+                moved.append(eqn)
+                self._remat_done.add((id(eqn), ci))
+                moved_cost += emit_cost(eqn)
+            if moved:
+                # duplicates prepend in ORIGINAL order (moved-eqn chains
+                # stay dependency-consistent; reverse iteration collected
+                # them backwards); a second pass may re-prepend an
+                # identical duplicate — harmless (liveness keeps one)
+                self.chunks[ci + 1] = (list(reversed(moved))
+                                       + self.chunks[ci + 1])
+                bv = [v for v in bset]
+                bv.sort(key=lambda v: (order.get(v, -1), str(v)))
+                self.bounds[ci] = bv
+
     @property
     def n_chunks(self) -> int:
         return len(self.chunks)
+
+    def retarget_outputs(self, groups: Sequence[Sequence[Any]]) -> List[int]:
+        """Re-plan output emission: instead of every out group leaving the
+        LAST chunk, each group leaves the earliest chunk where all its
+        vars exist, and the boundaries are recomputed for that flow. At
+        humanoid scale the tangent chunks' primal cohorts (Qf and friends,
+        ~40k floats) otherwise ride every later cut — the round-5 measured
+        cause of the 53k-row mid-CG boundaries. Returns the per-group
+        emission chunk indices; self.bounds/bound_metas/bound_rows are
+        rewritten."""
+        def nel(v):
+            return int(np.prod(v.aval.shape))
+
+        birth_chunk: Dict[Any, int] = {}
+        for v, b in zip(self.in_vars, self.in_batched):
+            if b:
+                birth_chunk[v] = 0
+        for i, ch in enumerate(self.chunks):
+            for e in ch:
+                for ov in e.outvars:
+                    birth_chunk.setdefault(ov, i)
+        last_use: Dict[Any, int] = {}
+        for i, ch in enumerate(self.chunks):
+            for e in ch:
+                for v in e.invars:
+                    if not isinstance(v, Literal) and v in self.batched:
+                        last_use[v] = i
+        gsets = [set(g) for g in groups]
+        emit = [max((birth_chunk.get(v, 0) for v in g), default=0)
+                for g in groups]
+        member = {}
+        for j, gs in enumerate(gsets):
+            for v in gs:
+                member.setdefault(v, []).append(j)
+        new_bounds = []
+        for ci in range(self.n_chunks - 1):
+            bv = []
+            for v in self.batched:
+                if v in self.extern or nel(v) == 0:
+                    continue
+                b = birth_chunk.get(v)
+                if b is None or b > ci:
+                    continue
+                alive = last_use.get(v, -1) > ci or any(
+                    emit[j] > ci for j in member.get(v, ()))
+                if alive:
+                    bv.append(v)
+            bv.sort(key=lambda v: (birth_chunk.get(v, -1), str(v)))
+            new_bounds.append(bv)
+        self.bounds = new_bounds
+        self._remat_pass()
+        self.bound_metas = [
+            [(tuple(v.aval.shape), v.aval.dtype, nel(v)) for v in bv]
+            for bv in self.bounds
+        ]
+        self.bound_rows = [sum(m[2] for m in metas)
+                           for metas in self.bound_metas]
+        return emit
 
     def extern_needs(self, idx: int, extern_order: Sequence[Any]
                      ) -> List[Any]:
@@ -225,11 +414,14 @@ class LaneChain:
 
     def eval_chunk(self, idx: int, env: Dict[Any, Any],
                    env_batched: Dict[Any, bool], bt,
-                   lit_vals, pre_env) -> List[jax.Array]:
+                   lit_vals, pre_env, outs=None) -> List[jax.Array]:
         """Evaluate chunk `idx` given an env holding its input vars;
         returns the values of this chunk's out list (boundary vars, or
-        the program out_vars for the last chunk), packed order."""
-        outs = self.bounds[idx] if idx < self.n_chunks - 1 else self.out_vars
+        the program out_vars for the last chunk; `outs` overrides —
+        retargeted-emission launchers pass boundary + group vars)."""
+        if outs is None:
+            outs = (self.bounds[idx] if idx < self.n_chunks - 1
+                    else self.out_vars)
         view = _JaxprView([], list(env.keys()), list(outs),
                           self.chunks[idx])
         vals = [env[v] for v in env]
@@ -271,13 +463,25 @@ def unpack_rows(packed, metas, bt) -> List[jax.Array]:
 _CHAIN_CACHE: dict = {}
 
 
+class _EmitUnit(NamedTuple):
+    """One primal→tangent pack: ALL tangent-needed primal vars BORN in
+    primal chunk `ci`, emitted right there (per-birth emission, deduped
+    across tangent consumers) — so no (m, m) cohort ever rides a later
+    cut or ships twice."""
+
+    ci: int                 # primal chunk that emits this pack
+    vars_p: Tuple[Any, ...]   # primal-side vars (pack order)
+    vars_t: Tuple[Any, ...]   # the same vars as the tangent side names them
+    metas: Tuple[Tuple, ...]
+    rows: int
+
+
 class _VJPChains(NamedTuple):
     sf: Any
     pchain: LaneChain
     tchain: LaneChain
-    pneeds: Tuple[List[Any], ...]    # per-tangent-chunk primal var lists
-    pneeds_meta: Tuple[List[Tuple], ...]
-    pneeds_rows: Tuple[int, ...]
+    units: Tuple[_EmitUnit, ...]
+    tneed: Tuple[Tuple[int, ...], ...]   # unit indices per tangent chunk
 
 
 def _chains_for(model, m_cl, nx, na, dtype, cg_iters, budget):
@@ -290,9 +494,11 @@ def _chains_for(model, m_cl, nx, na, dtype, cg_iters, budget):
         return hit[1]
     sf = _vjp_fn_for(model, m_cl, nx, na, dtype, cg_iters=cg_iters)
     targs = sf.tangent_view.invars[len(sf.bound_vars):]
-    tchain = LaneChain(sf.tangent_view.eqns, sf.tangent_view.invars,
+    t_eqns, t_out = inline_linear_solves(sf.tangent_view.eqns,
+                                         sf.tangent_view.outvars)
+    tchain = LaneChain(t_eqns, sf.tangent_view.invars,
                        [True] * len(sf.bound_vars) + [False] * len(targs),
-                       sf.tangent_view.outvars, budget,
+                       t_out, budget,
                        extern=sf.bound_vars)
     pneeds = tuple(tchain.extern_needs(j, sf.bound_vars)
                    for j in range(tchain.n_chunks))
@@ -303,18 +509,55 @@ def _chains_for(model, m_cl, nx, na, dtype, cg_iters, budget):
             if v not in seen:
                 seen.add(v)
                 union.append(v)
-    pchain = LaneChain(sf.primal_view.eqns, sf.primal_view.invars,
+    p_eqns, p_union = inline_linear_solves(sf.primal_view.eqns, union)
+    p_map = dict(zip(union, p_union))
+    pchain = LaneChain(p_eqns, sf.primal_view.invars,
                        [True] * len(sf.primal_view.invars),
-                       union, budget)
+                       p_union, budget)
+    # every pack var leaves at its BIRTH chunk (per-birth emission
+    # units); boundaries then carry only real equation liveness — with
+    # one whole pack per tangent chunk the (m, m) cohort rode every cut
+    # after assembly (53k rows measured at Atlas scale), and with
+    # last-chunk emission it rode them all
+    pchain.retarget_outputs([])
 
     def nel(v):
         return int(np.prod(v.aval.shape))
 
-    pneeds_meta = tuple(
-        [(tuple(v.aval.shape), v.aval.dtype, nel(v)) for v in grp]
-        for grp in pneeds)
-    pneeds_rows = tuple(sum(m[2] for m in metas) for metas in pneeds_meta)
-    out = _VJPChains(sf, pchain, tchain, pneeds, pneeds_meta, pneeds_rows)
+    birth: Dict[Any, int] = {}
+    for v in sf.primal_view.invars:
+        birth[v] = 0
+    for i, chk in enumerate(pchain.chunks):
+        for e in chk:
+            for ov in e.outvars:
+                birth.setdefault(ov, i)
+    per_ci: Dict[int, List[Tuple[Any, Any]]] = {}
+    seen_vt: Dict[Any, int] = {}
+    tneed_sets: List[set] = [set() for _ in range(tchain.n_chunks)]
+    for j, grp_t in enumerate(pneeds):
+        for vt in grp_t:
+            ci = seen_vt.get(vt)
+            if ci is None:
+                vp = p_map[vt]
+                ci = birth[vp]
+                seen_vt[vt] = ci
+                per_ci.setdefault(ci, []).append((vt, vp))
+            tneed_sets[j].add(ci)
+    units: List[_EmitUnit] = []
+    ci_to_unit: Dict[int, int] = {}
+    for ci in sorted(per_ci):
+        pairs = per_ci[ci]
+        metas = tuple((tuple(vp.aval.shape), vp.aval.dtype, nel(vp))
+                      for _, vp in pairs)
+        ci_to_unit[ci] = len(units)
+        units.append(_EmitUnit(
+            ci=ci,
+            vars_p=tuple(vp for _, vp in pairs),
+            vars_t=tuple(vt for vt, _ in pairs),
+            metas=metas, rows=sum(m[2] for m in metas)))
+    tneed = tuple(tuple(sorted(ci_to_unit[c] for c in ts_))
+                  for ts_ in tneed_sets)
+    out = _VJPChains(sf, pchain, tchain, tuple(units), tneed)
     _CHAIN_CACHE[key] = (model, out)
     return out
 
@@ -328,10 +571,19 @@ def chained_linearize_vjp(
     interpret: bool = None,
     cg_iters: int = None,
     budget: int = 36_000,
+    wrap=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(fx, fu) via the CHAINED row-VJP kernels — for models whose split
     halves exceed the Mosaic envelope (Atlas-class). Same math as
-    `linearize_pallas_vjp`; each half runs as a chain of kernels."""
+    `linearize_pallas_vjp`; each half runs as a chain of kernels.
+
+    `wrap(name, launch_fn) -> launch_fn`: optional per-launch wrapper.
+    Host-orchestrated drivers pass a caching `jax.jit` wrapper so every
+    pallas launch compiles as its OWN program (the remote compile
+    service crashes on large multi-kernel programs; individual kernels
+    compile — scripts/atlas_mpc_hosted.py)."""
+    if wrap is None:
+        wrap = lambda name, f: f  # noqa: E731
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, nx = xs.shape
@@ -368,18 +620,21 @@ def chained_linearize_vjp(
                  lane_spec(m_cl)]
     p_invars = sf.primal_view.invars
 
-    # ---- primal chain: grid (G,); the last chunk writes one pack PER
-    # TANGENT CHUNK (only the primal vars that chunk consumes — keeps the
-    # big (m, m) primal matrices out of the per-direction HBM traffic and
-    # out of every tangent kernel's VMEM) ----
+    # ---- primal chain: grid (G,); each chunk writes its boundary pack
+    # PLUS the emission units whose vars are born in it (per-birth
+    # retargeted emission: no pack var ever rides a later cut) ----
+    unit_packs: Dict[int, Any] = {}
+    L = max((u.ci for u in ch.units), default=0)
     cur = None  # packed boundary from the previous chunk
-    for ci in range(pchain.n_chunks):
-        last = ci == pchain.n_chunks - 1
+    for ci in range(L + 1):
+        last = ci == L
         in_metas = (None if ci == 0 else pchain.bound_metas[ci - 1])
         in_vars = (p_invars if ci == 0 else pchain.bounds[ci - 1])
+        emit_here = [ui for ui, u in enumerate(ch.units) if u.ci == ci]
+        with_bound = not last
 
         def kernel(*refs, _ci=ci, _in_metas=in_metas, _in_vars=in_vars,
-                   _last=last):
+                   _emit=tuple(emit_here), _wb=with_bound):
             const_refs = refs[:sf.n_consts]
             lit_vals, pre = sf._cvals([cr[...] for cr in const_refs])
             if _ci == 0:
@@ -391,17 +646,29 @@ def chained_linearize_vjp(
                 vals = unpack_rows(packed, _in_metas, bt)
             env = dict(zip(_in_vars, vals))
             envb = {v: True for v in _in_vars}
-            outs = pchain.eval_chunk(_ci, env, envb, bt, lit_vals, pre)
-            if _last:
-                union_vals = dict(zip(pchain.out_vars, outs))
-                out_refs = refs[-tchain.n_chunks:]
-                for j, oref in enumerate(out_refs):
-                    grp = [union_vals[v] for v in ch.pneeds[j]]
-                    oref[...] = jax.lax.expand_dims(
-                        pack_rows(grp, ch.pneeds_meta[j], bt), (1,))
-            else:
-                refs[-1][...] = jax.lax.expand_dims(
-                    pack_rows(outs, pchain.bound_metas[_ci], bt), (1,))
+            outs_vars = (list(pchain.bounds[_ci]) if _wb else [])
+            for ui in _emit:
+                outs_vars += list(ch.units[ui].vars_p)
+            outs = pchain.eval_chunk(_ci, env, envb, bt, lit_vals, pre,
+                                     outs=outs_vars)
+            n_out = (1 if _wb else 0) + len(_emit)
+            out_refs = refs[-n_out:]
+            pos = 0
+            ri = 0
+            if _wb:
+                nb_ = len(pchain.bounds[_ci])
+                out_refs[ri][...] = jax.lax.expand_dims(
+                    pack_rows(outs[:nb_], pchain.bound_metas[_ci], bt),
+                    (1,))
+                pos += nb_
+                ri += 1
+            for ui in _emit:
+                u_ = ch.units[ui]
+                out_refs[ri][...] = jax.lax.expand_dims(
+                    pack_rows(outs[pos: pos + len(u_.vars_p)], u_.metas,
+                              bt), (1,))
+                pos += len(u_.vars_p)
+                ri += 1
 
         in_specs = [_const_spec(c) for c in sf.consts2d]
         ins = list(sf.consts2d)
@@ -411,24 +678,31 @@ def chained_linearize_vjp(
         else:
             in_specs += [lane_spec(pchain.bound_rows[ci - 1])]
             ins += [cur]
-        if last:
-            out_specs = [lane_spec(r) for r in ch.pneeds_rows]
-            out_shape = [jax.ShapeDtypeStruct((r, G, S_b, 128), jnp.float32)
-                         for r in ch.pneeds_rows]
-        else:
-            out_rows = pchain.bound_rows[ci]
-            out_specs = lane_spec(out_rows)
-            out_shape = jax.ShapeDtypeStruct((out_rows, G, S_b, 128),
-                                             jnp.float32)
-        cur = pl.pallas_call(
-            kernel,
-            grid=(G,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(*ins)
-    primal_packs = list(cur)  # one per tangent chunk
+        out_specs = ([lane_spec(pchain.bound_rows[ci])] if with_bound
+                     else [])
+        out_shape = ([jax.ShapeDtypeStruct(
+            (pchain.bound_rows[ci], G, S_b, 128), jnp.float32)]
+            if with_bound else [])
+        out_specs += [lane_spec(ch.units[ui].rows) for ui in emit_here]
+        out_shape += [jax.ShapeDtypeStruct(
+            (ch.units[ui].rows, G, S_b, 128), jnp.float32)
+            for ui in emit_here]
+        def launch(*a, _k=kernel, _isp=tuple(in_specs),
+                   _osp=tuple(out_specs), _osh=tuple(out_shape)):
+            return pl.pallas_call(
+                _k,
+                grid=(G,),
+                in_specs=list(_isp),
+                out_specs=list(_osp),
+                out_shape=list(_osh),
+                interpret=interpret,
+            )(*a)
+
+        rets = list(wrap(f"p{ci}", launch)(*ins))
+        if with_bound:
+            cur = rets.pop(0)
+        for ui, pk in zip(emit_here, rets):
+            unit_packs[ui] = pk
 
     # ---- tangent chain: grid (G, K) ----
     bas = jnp.zeros((nq, 8, 128), dtype)
@@ -442,16 +716,22 @@ def chained_linearize_vjp(
     for ci in range(tchain.n_chunks):
         last = ci == tchain.n_chunks - 1
         in_metas = (None if ci == 0 else tchain.bound_metas[ci - 1])
+        units_j = list(ch.tneed[ci])
 
-        def kernel(*refs, _ci=ci, _in_metas=in_metas):
+        def kernel(*refs, _ci=ci, _in_metas=in_metas,
+                   _units=tuple(units_j)):
             const_refs = refs[:sf.n_consts]
             lit_vals, pre = sf._cvals([cr[...] for cr in const_refs])
             pos = sf.n_consts
-            b_r = refs[pos]; pos += 1
-            packed = jax.lax.squeeze(b_r[...], (1,))
-            env = dict(zip(ch.pneeds[_ci],
-                           unpack_rows(packed, ch.pneeds_meta[_ci], bt)))
-            envb = {v: True for v in env}
+            env = {}
+            envb = {}
+            for ui in _units:
+                u_ = ch.units[ui]
+                packed = jax.lax.squeeze(refs[pos][...], (1,)); pos += 1
+                for v, val in zip(u_.vars_t,
+                                  unpack_rows(packed, u_.metas, bt)):
+                    env[v] = val
+                    envb[v] = True
             if _ci > 0:
                 tb_r = refs[pos]; pos += 1
                 tpacked = jax.lax.squeeze(tb_r[...], (1, 2))
@@ -474,10 +754,11 @@ def chained_linearize_vjp(
                     pack_rows(outs, metas, bt), (1, 2))
 
         in_specs = [_const_spec(c) for c in sf.consts2d] + [
-            pl.BlockSpec((ch.pneeds_rows[ci], 1, S_b, 128),
+            pl.BlockSpec((ch.units[ui].rows, 1, S_b, 128),
                          lambda i, k: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM)]
-        ins = list(sf.consts2d) + [primal_packs[ci]]
+                         memory_space=pltpu.VMEM)
+            for ui in units_j]
+        ins = list(sf.consts2d) + [unit_packs[ui] for ui in units_j]
         if ci > 0:
             rows_in = tchain.bound_rows[ci - 1]
             in_specs += [pl.BlockSpec(
@@ -542,7 +823,7 @@ def _step_chain_for(model, m_cl, nx, na, dtype, cg_iters, budget,
     with jax.ensure_compile_time_eval():
         dynf = dyn_frozen_for_trace(model, cg_iters=cg_iters)
 
-        idx = np.asarray(model.actuated, dtype=np.int32)
+        idx = np.asarray(model.actuated, dtype=np.int32)  # noqa: F841
         u_lo = jnp.asarray(model.tau_lower)[idx]
         u_hi = jnp.asarray(model.tau_upper)[idx]
 
@@ -561,9 +842,10 @@ def _step_chain_for(model, m_cl, nx, na, dtype, cg_iters, budget,
 
             args = (z(nx), z(na), z(m_cl), z(m_cl))
         sf = SplitJVPFn(step_fn, args, n_tangent=0)
-    chain = LaneChain(sf.primal_view.eqns, sf.primal_view.invars,
+    eqns2, out2 = inline_linear_solves(sf.primal_view.eqns, sf.bound_vars)
+    chain = LaneChain(eqns2, sf.primal_view.invars,
                       [True] * len(sf.primal_view.invars),
-                      sf.bound_vars, budget)
+                      out2, budget)
     out = (sf, chain)
     _CHAIN_CACHE[key] = (model, out)
     return out
@@ -664,7 +946,7 @@ def chained_step_rollout(
         pack = _run_chain_lanes(
             sf, chain, [lanes(xf), lanes(u_t), lanes(cm_t), lanes(us_t)],
             [nx, na, m_cl, m_cl], G, S_b, interpret)
-        x2 = pack.reshape(nx, N_pad)[:, :B].T
+        x2 = pack.reshape(nx, N_pad)[:, :B].T.astype(xf.dtype)
         c = jax.vmap(running_cost, in_axes=(0, 0, None))(xf, u_t, t)
         return x2, (x2, c)
 

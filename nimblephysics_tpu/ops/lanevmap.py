@@ -459,7 +459,14 @@ def _dot_general_reduce_chunked(lhs, rhs, lc, rc, bt, cchunk):
 # products whose free set is already large fall back to the unroll).
 import os as _os
 
-_REDUCE_MIN_C = int(_os.environ.get("NTPU_DOT_REDUCE_MIN", "32"))
+# MEASURED NEGATIVE (round-5 Atlas bisect): the materialize-and-reduce
+# form at m = 102 (a (102,102,S_b,128) transient reduced over a middle
+# dim) crashes the remote Mosaic compile helper (HTTP 500) — the SAME
+# isolated kernel compiles with the unrolled slice-FMA form. Disabled by
+# default; the env knob remains for future Mosaic versions. (The unroll
+# also keeps eqn counts honest for the chain splitter, which simply cuts
+# more chunks.)
+_REDUCE_MIN_C = int(_os.environ.get("NTPU_DOT_REDUCE_MIN", "100000"))
 _REDUCE_MAT_CAP = int(_os.environ.get("NTPU_DOT_REDUCE_CAP", "16384"))
 
 
@@ -563,6 +570,12 @@ def lane_eval(
         for eqn in reversed(jaxpr.eqns):
             if any(ov in live for ov in eqn.outvars):
                 needed.append(eqn)
+                # proper backward liveness: once the producer is found,
+                # its outputs are resolved — an EARLIER duplicate of the
+                # same equation (chain-boundary remat can create them)
+                # must not be kept too
+                for ov in eqn.outvars:
+                    live.discard(ov)
                 for v in eqn.invars:
                     if not isinstance(v, Literal) and v not in env:
                         live.add(v)

@@ -159,186 +159,40 @@ def cost_derivs(xs, u):
 
 
 # ------------------------------------------- chained linearize, hosted --
+# chained_linearize_vjp with a caching per-launch jax.jit wrapper: every
+# pallas launch compiles as its OWN program (multi-kernel programs crash
+# the remote compile service; individual kernels compile).
+
+from nimblephysics_tpu.ops.lane_chain import (  # noqa: E402
+    _chains_for,
+    chained_linearize_vjp,
+)
 
 ch = _chains_for(planner, m, nx, na, dtype, CG, BUDGET)
-sf, pchain, tchain = ch.sf, ch.pchain, ch.tchain
-S_b = 1
-block_b = 128
-N = B * H
-N_pad = -(-N // block_b) * block_b
-G = N_pad // block_b
-bt = (S_b, 128)
-no = nx + na
-
-lane_spec = lambda rows: pl.BlockSpec(  # noqa: E731
-    (rows, 1, S_b, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM)
+_JITS = {}
 
 
-def _jit_primal_chunk(ci):
-    last = ci == pchain.n_chunks - 1
-    in_metas = None if ci == 0 else pchain.bound_metas[ci - 1]
-    in_vars = (sf.primal_view.invars if ci == 0 else pchain.bounds[ci - 1])
-
-    def kernel(*refs):
-        const_refs = refs[:sf.n_consts]
-        lit, pre = sf._cvals([cr[...] for cr in const_refs])
-        if ci == 0:
-            vals = [jax.lax.squeeze(r[...], (1,))
-                    for r in refs[sf.n_consts: sf.n_consts + 4]]
-        else:
-            packed = jax.lax.squeeze(refs[sf.n_consts][...], (1,))
-            vals = unpack_rows(packed, in_metas, bt)
-        env = dict(zip(in_vars, vals))
-        envb = {v: True for v in in_vars}
-        outs = pchain.eval_chunk(ci, env, envb, bt, lit, pre)
-        if last:
-            uv = dict(zip(pchain.out_vars, outs))
-            for j, oref in enumerate(refs[-tchain.n_chunks:]):
-                grp = [uv[v] for v in ch.pneeds[j]]
-                oref[...] = jax.lax.expand_dims(
-                    pack_rows(grp, ch.pneeds_meta[j], bt), (1,))
-        else:
-            refs[-1][...] = jax.lax.expand_dims(
-                pack_rows(outs, pchain.bound_metas[ci], bt), (1,))
-
-    if ci == 0:
-        arg_specs = [lane_spec(nx), lane_spec(na), lane_spec(m),
-                     lane_spec(m)]
-    else:
-        arg_specs = [lane_spec(pchain.bound_rows[ci - 1])]
-    if last:
-        out_specs = [lane_spec(r) for r in ch.pneeds_rows]
-        out_shape = [jax.ShapeDtypeStruct((r, G, S_b, 128), jnp.float32)
-                     for r in ch.pneeds_rows]
-    else:
-        r = pchain.bound_rows[ci]
-        out_specs = lane_spec(r)
-        out_shape = jax.ShapeDtypeStruct((r, G, S_b, 128), jnp.float32)
-
-    def launch(*args):
-        return pl.pallas_call(
-            kernel, grid=(G,),
-            in_specs=[_const_spec(c) for c in sf.consts2d] + arg_specs,
-            out_specs=out_specs, out_shape=out_shape, interpret=False,
-        )(*sf.consts2d, *args)
-
-    return jax.jit(launch, compiler_options=COPTS)
+def _wrap(name, f):
+    g = _JITS.get(name)
+    if g is None:
+        print(f"  compiling lin launch {name}", flush=True)
+        g = jax.jit(f, compiler_options=COPTS)
+        _JITS[name] = g
+    return g
 
 
-bas = jnp.zeros((nq, 8, 128), dtype).at[:, 0, :nq].set(
-    jnp.eye(nq, dtype=dtype))
-bas_spec = pl.BlockSpec((1, 8, 128), lambda i, k: (k, 0, 0),
-                        memory_space=pltpu.VMEM)
-targs = sf.tangent_view.invars[len(sf.bound_vars):]
-
-
-def _jit_tangent_chunk(ci):
-    last = ci == tchain.n_chunks - 1
-    in_metas = None if ci == 0 else tchain.bound_metas[ci - 1]
-
-    def kernel(*refs):
-        const_refs = refs[:sf.n_consts]
-        lit, pre = sf._cvals([cr[...] for cr in const_refs])
-        pos = sf.n_consts
-        packed = jax.lax.squeeze(refs[pos][...], (1,)); pos += 1
-        env = dict(zip(ch.pneeds[ci],
-                       unpack_rows(packed, ch.pneeds_meta[ci], bt)))
-        envb = {v: True for v in env}
-        if ci > 0:
-            tpacked = jax.lax.squeeze(refs[pos][...], (1, 2)); pos += 1
-            for v, val in zip(tchain.bounds[ci - 1],
-                              unpack_rows(tpacked, in_metas, bt)):
-                env[v] = val
-                envb[v] = True
-        bb = refs[pos][...]; pos += 1
-        ct = jax.lax.reshape(jax.lax.slice(bb, (0, 0, 0), (1, 1, nq)),
-                             (nq,))
-        env[targs[0]] = ct
-        envb[targs[0]] = False
-        outs = tchain.eval_chunk(ci, env, envb, bt, lit, pre)
-        if last:
-            refs[-1][...] = jax.lax.expand_dims(outs[0], (1, 2))
-        else:
-            refs[-1][...] = jax.lax.expand_dims(
-                pack_rows(outs, tchain.bound_metas[ci], bt), (1, 2))
-
-    in_specs = [_const_spec(c) for c in sf.consts2d] + [
-        pl.BlockSpec((ch.pneeds_rows[ci], 1, S_b, 128),
-                     lambda i, k: (0, i, 0, 0), memory_space=pltpu.VMEM)]
-    if ci > 0:
-        rows_in = tchain.bound_rows[ci - 1]
-        in_specs += [pl.BlockSpec((rows_in, 1, 1, S_b, 128),
-                                  lambda i, k: (0, i, k, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-    in_specs += [bas_spec]
-    if last:
-        out_specs = pl.BlockSpec((no, 1, 1, S_b, 128),
-                                 lambda i, k: (0, i, k, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((no, G, nq, S_b, 128), dtype)
-    else:
-        r = tchain.bound_rows[ci]
-        out_specs = pl.BlockSpec((r, 1, 1, S_b, 128),
-                                 lambda i, k: (0, i, k, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((r, G, nq, S_b, 128), jnp.float32)
-
-    def launch(*args):
-        return pl.pallas_call(
-            kernel, grid=(G, nq),
-            in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
-            interpret=False,
-        )(*sf.consts2d, *args)
-
-    return jax.jit(launch, compiler_options=COPTS)
-
-
-@partial(jax.jit, compiler_options=COPTS)
-def lanes4(xs, u, cm, us):
-    def lanes(a2):
-        aT = a2.T
-        if N_pad != N:
-            aT = jnp.pad(aT, ((0, 0), (0, N_pad - N)))
-        return aT.reshape(aT.shape[0], G, S_b, 128)
-
-    return (lanes(xs.reshape(N, nx)), lanes(u.reshape(N, na)),
-            lanes(cm.reshape(N, m)), lanes(us.reshape(N, m)))
-
-
-@partial(jax.jit, compiler_options=COPTS)
-def unpack_fx_fu(t_p):
-    rows = jnp.transpose(t_p, (1, 3, 4, 2, 0)).reshape(N_pad, nq, no)
-    rows = rows[:N].reshape(B, H, nq, no)
-    fx_bot = rows[..., :nx]
-    fu_bot = rows[..., nx:]
-    dt = jnp.asarray(planner.dt, dtype)
-    eye = jnp.eye(nq, dtype=dtype)
-    top = jnp.concatenate([eye, dt * eye], axis=-1)
-    fx_top = jnp.broadcast_to(top, (B, H, nq, nx))
-    fu_top = jnp.zeros((B, H, nq, na), dtype)
-    return (jnp.concatenate([fx_top, fx_bot], axis=2),
-            jnp.concatenate([fu_top, fu_bot], axis=2))
+def linearize(xs, u, cm, us):
+    return chained_linearize_vjp(
+        planner, xs, u, (cm, us), block_b=128, interpret=False,
+        cg_iters=CG, budget=BUDGET, wrap=_wrap)
 
 
 def main():
     t_start = time.time()
     log = {"B": B, "H": H, "iters": ITERS, "alphas": list(ALPHAS),
            "cg": CG, "budget": BUDGET,
-           "chunks": {"primal": pchain.n_chunks,
-                      "tangent": tchain.n_chunks}}
-    p_jits = [_jit_primal_chunk(i) for i in range(pchain.n_chunks)]
-    t_jits = [_jit_tangent_chunk(i) for i in range(tchain.n_chunks)]
-
-    def linearize(xs, u, cm, us):
-        args = lanes4(xs, u, cm, us)
-        cur = p_jits[0](*args)
-        for i in range(1, pchain.n_chunks):
-            cur = p_jits[i](cur)
-        packs = list(cur)
-        cur_t = t_jits[0](packs[0], bas)
-        for i in range(1, tchain.n_chunks):
-            cur_t = t_jits[i](packs[i], cur_t, bas)
-        return unpack_fx_fu(cur_t)
+           "chunks": {"primal": ch.pchain.n_chunks,
+                      "tangent": ch.tchain.n_chunks}}
 
     key = jax.random.PRNGKey(0)
     x0 = jnp.tile(s0.flat()[None].astype(dtype), (B, 1))
