@@ -622,7 +622,14 @@ def chained_linearize_vjp(
 
     # ---- primal chain: grid (G,); each chunk writes its boundary pack
     # PLUS the emission units whose vars are born in it (per-birth
-    # retargeted emission: no pack var ever rides a later cut) ----
+    # retargeted emission: no pack var ever rides a later cut). Unit
+    # vars that ALSO ride this chunk's boundary (the Qf cohort: born at
+    # assembly, consumed by both the later CG chunks and the tangent
+    # side) are NOT written twice: the kernel emits only the
+    # boundary-disjoint remainder and the full unit pack is reassembled
+    # outside the kernel from boundary-pack row slices — the round-5
+    # p6 crash was exactly this doubled output volume (~36 MB of
+    # output blocks; BIGMODEL_STUDY.md round-5 update). ----
     unit_packs: Dict[int, Any] = {}
     L = max((u.ci for u in ch.units), default=0)
     cur = None  # packed boundary from the previous chunk
@@ -633,8 +640,29 @@ def chained_linearize_vjp(
         emit_here = [ui for ui, u in enumerate(ch.units) if u.ci == ci]
         with_bound = not last
 
+        # per-unit split: vars already in this chunk's boundary pack
+        # (sliced out after launch) vs the remainder the kernel emits
+        bset_ci = set(pchain.bounds[ci]) if with_bound else set()
+        boff: Dict[Any, int] = {}
+        off = 0
+        if with_bound:
+            for v, (_, _, n) in zip(pchain.bounds[ci],
+                                    pchain.bound_metas[ci]):
+                boff[v] = off
+                off += n
+        kept: Dict[int, Tuple[Tuple[Any, ...], Tuple[Tuple, ...], int]] = {}
+        for ui in emit_here:
+            u_ = ch.units[ui]
+            kv, km = [], []
+            for vp, meta in zip(u_.vars_p, u_.metas):
+                if vp not in bset_ci:
+                    kv.append(vp)
+                    km.append(meta)
+            kept[ui] = (tuple(kv), tuple(km), sum(m[2] for m in km))
+        emit_out = [ui for ui in emit_here if kept[ui][2] > 0]
+
         def kernel(*refs, _ci=ci, _in_metas=in_metas, _in_vars=in_vars,
-                   _emit=tuple(emit_here), _wb=with_bound):
+                   _emit=tuple(emit_out), _wb=with_bound, _kept=kept):
             const_refs = refs[:sf.n_consts]
             lit_vals, pre = sf._cvals([cr[...] for cr in const_refs])
             if _ci == 0:
@@ -648,7 +676,7 @@ def chained_linearize_vjp(
             envb = {v: True for v in _in_vars}
             outs_vars = (list(pchain.bounds[_ci]) if _wb else [])
             for ui in _emit:
-                outs_vars += list(ch.units[ui].vars_p)
+                outs_vars += list(_kept[ui][0])
             outs = pchain.eval_chunk(_ci, env, envb, bt, lit_vals, pre,
                                      outs=outs_vars)
             n_out = (1 if _wb else 0) + len(_emit)
@@ -663,11 +691,10 @@ def chained_linearize_vjp(
                 pos += nb_
                 ri += 1
             for ui in _emit:
-                u_ = ch.units[ui]
+                kv, km, _ = _kept[ui]
                 out_refs[ri][...] = jax.lax.expand_dims(
-                    pack_rows(outs[pos: pos + len(u_.vars_p)], u_.metas,
-                              bt), (1,))
-                pos += len(u_.vars_p)
+                    pack_rows(outs[pos: pos + len(kv)], km, bt), (1,))
+                pos += len(kv)
                 ri += 1
 
         in_specs = [_const_spec(c) for c in sf.consts2d]
@@ -683,10 +710,10 @@ def chained_linearize_vjp(
         out_shape = ([jax.ShapeDtypeStruct(
             (pchain.bound_rows[ci], G, S_b, 128), jnp.float32)]
             if with_bound else [])
-        out_specs += [lane_spec(ch.units[ui].rows) for ui in emit_here]
+        out_specs += [lane_spec(kept[ui][2]) for ui in emit_out]
         out_shape += [jax.ShapeDtypeStruct(
-            (ch.units[ui].rows, G, S_b, 128), jnp.float32)
-            for ui in emit_here]
+            (kept[ui][2], G, S_b, 128), jnp.float32)
+            for ui in emit_out]
         def launch(*a, _k=kernel, _isp=tuple(in_specs),
                    _osp=tuple(out_specs), _osh=tuple(out_shape)):
             return pl.pallas_call(
@@ -701,8 +728,28 @@ def chained_linearize_vjp(
         rets = list(wrap(f"p{ci}", launch)(*ins))
         if with_bound:
             cur = rets.pop(0)
-        for ui, pk in zip(emit_here, rets):
-            unit_packs[ui] = pk
+        red = dict(zip(emit_out, rets))
+        for ui in emit_here:
+            u_ = ch.units[ui]
+            kv, km, krows = kept[ui]
+            if krows == u_.rows:
+                unit_packs[ui] = red[ui]
+                continue
+            # reassemble the full pack in unit row order: boundary rows
+            # sliced from `cur`, remainder rows from the reduced pack
+            parts = []
+            k = 0
+            for vp, (_, _, n) in zip(u_.vars_p, u_.metas):
+                if vp in bset_ci:
+                    o = boff[vp]
+                    parts.append(
+                        jax.lax.slice_in_dim(cur, o, o + n, axis=0))
+                else:
+                    parts.append(
+                        jax.lax.slice_in_dim(red[ui], k, k + n, axis=0))
+                    k += n
+            unit_packs[ui] = (parts[0] if len(parts) == 1
+                              else jnp.concatenate(parts, axis=0))
 
     # ---- tangent chain: grid (G, K) ----
     bas = jnp.zeros((nq, 8, 128), dtype)
