@@ -34,6 +34,7 @@ service bounds single-kernel size.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
 
 import numpy as np
@@ -661,8 +662,16 @@ def chained_linearize_vjp(
             kept[ui] = (tuple(kv), tuple(km), sum(m[2] for m in km))
         emit_out = [ui for ui in emit_here if kept[ui][2] > 0]
 
-        def kernel(*refs, _ci=ci, _in_metas=in_metas, _in_vars=in_vars,
-                   _emit=tuple(emit_out), _wb=with_bound, _kept=kept):
+        in_specs = [_const_spec(c) for c in sf.consts2d]
+        ins = list(sf.consts2d)
+        if ci == 0:
+            in_specs += arg_specs
+            ins += args_in
+        else:
+            in_specs += [lane_spec(pchain.bound_rows[ci - 1])]
+            ins += [cur]
+
+        def make_env(refs, _ci, _in_metas, _in_vars):
             const_refs = refs[:sf.n_consts]
             lit_vals, pre = sf._cvals([cr[...] for cr in const_refs])
             if _ci == 0:
@@ -674,61 +683,132 @@ def chained_linearize_vjp(
                 vals = unpack_rows(packed, _in_metas, bt)
             env = dict(zip(_in_vars, vals))
             envb = {v: True for v in _in_vars}
-            outs_vars = (list(pchain.bounds[_ci]) if _wb else [])
-            for ui in _emit:
-                outs_vars += list(_kept[ui][0])
-            outs = pchain.eval_chunk(_ci, env, envb, bt, lit_vals, pre,
-                                     outs=outs_vars)
-            n_out = (1 if _wb else 0) + len(_emit)
-            out_refs = refs[-n_out:]
-            pos = 0
-            ri = 0
-            if _wb:
-                nb_ = len(pchain.bounds[_ci])
-                out_refs[ri][...] = jax.lax.expand_dims(
-                    pack_rows(outs[:nb_], pchain.bound_metas[_ci], bt),
-                    (1,))
-                pos += nb_
-                ri += 1
-            for ui in _emit:
-                kv, km, _ = _kept[ui]
-                out_refs[ri][...] = jax.lax.expand_dims(
-                    pack_rows(outs[pos: pos + len(kv)], km, bt), (1,))
-                pos += len(kv)
-                ri += 1
+            return env, envb, lit_vals, pre
 
-        in_specs = [_const_spec(c) for c in sf.consts2d]
-        ins = list(sf.consts2d)
-        if ci == 0:
-            in_specs += arg_specs
-            ins += args_in
+        brows_ci = pchain.bound_rows[ci] if with_bound else 0
+        rows_tot = brows_ci + sum(kept[ui][2] for ui in emit_out)
+        # the remote compile helper dies on large per-invocation OUTPUT
+        # blocks (round-5 p6: 25 MB crashes, the 7 MB p7 boundary
+        # compiles) — chunks over the segment cap emit through MULTIPLE
+        # launches, each re-running the chunk's (cheap, primal-side)
+        # compute and writing one <=SEG_ROWS row window of the flat
+        # [boundary pack | unit packs] row space
+        seg_rows = int(os.environ.get("NTPU_CHAIN_OUT_SEG_ROWS", "14336"))
+        if rows_tot > seg_rows:
+            layout: List[Tuple[Any, Tuple, int]] = []
+            off_r = 0
+            if with_bound:
+                for v, meta in zip(pchain.bounds[ci],
+                                   pchain.bound_metas[ci]):
+                    layout.append((v, meta, off_r))
+                    off_r += meta[2]
+            for ui in emit_out:
+                for v, meta in zip(kept[ui][0], kept[ui][1]):
+                    layout.append((v, meta, off_r))
+                    off_r += meta[2]
+            segs = [(lo, min(lo + seg_rows, rows_tot))
+                    for lo in range(0, rows_tot, seg_rows)]
+            seg_rets = []
+            for si, (lo, hi) in enumerate(segs):
+                sel = tuple((v, meta, glo) for v, meta, glo in layout
+                            if glo < hi and glo + meta[2] > lo)
+
+                def kernel(*refs, _ci=ci, _in_metas=in_metas,
+                           _in_vars=in_vars, _sel=sel, _lo=lo, _hi=hi):
+                    env, envb, lit_vals, pre = make_env(
+                        refs, _ci, _in_metas, _in_vars)
+                    outs = pchain.eval_chunk(
+                        _ci, env, envb, bt, lit_vals, pre,
+                        outs=[v for v, _, _ in _sel])
+                    parts = []
+                    for (v, meta, glo), val in zip(_sel, outs):
+                        n = meta[2]
+                        p = pack_rows([val], [meta], bt)
+                        a = max(_lo, glo) - glo
+                        b = min(_hi, glo + n) - glo
+                        if a > 0 or b < n:
+                            p = jax.lax.slice_in_dim(p, a, b, axis=0)
+                        parts.append(p)
+                    full = (parts[0] if len(parts) == 1
+                            else jax.lax.concatenate(parts, 0))
+                    refs[-1][...] = jax.lax.expand_dims(full, (1,))
+
+                def launch(*a, _k=kernel, _isp=tuple(in_specs),
+                           _rows=hi - lo):
+                    return pl.pallas_call(
+                        _k,
+                        grid=(G,),
+                        in_specs=list(_isp),
+                        out_specs=[lane_spec(_rows)],
+                        out_shape=[jax.ShapeDtypeStruct(
+                            (_rows, G, S_b, 128), jnp.float32)],
+                        interpret=interpret,
+                    )(*a)
+
+                seg_rets.append(wrap(f"p{ci}s{si}", launch)(*ins)[0])
+            full = (seg_rets[0] if len(seg_rets) == 1
+                    else jnp.concatenate(seg_rets, axis=0))
+            if with_bound:
+                cur = jax.lax.slice_in_dim(full, 0, brows_ci, axis=0)
+            red = {}
+            off_r = brows_ci
+            for ui in emit_out:
+                red[ui] = jax.lax.slice_in_dim(
+                    full, off_r, off_r + kept[ui][2], axis=0)
+                off_r += kept[ui][2]
         else:
-            in_specs += [lane_spec(pchain.bound_rows[ci - 1])]
-            ins += [cur]
-        out_specs = ([lane_spec(pchain.bound_rows[ci])] if with_bound
-                     else [])
-        out_shape = ([jax.ShapeDtypeStruct(
-            (pchain.bound_rows[ci], G, S_b, 128), jnp.float32)]
-            if with_bound else [])
-        out_specs += [lane_spec(kept[ui][2]) for ui in emit_out]
-        out_shape += [jax.ShapeDtypeStruct(
-            (kept[ui][2], G, S_b, 128), jnp.float32)
-            for ui in emit_out]
-        def launch(*a, _k=kernel, _isp=tuple(in_specs),
-                   _osp=tuple(out_specs), _osh=tuple(out_shape)):
-            return pl.pallas_call(
-                _k,
-                grid=(G,),
-                in_specs=list(_isp),
-                out_specs=list(_osp),
-                out_shape=list(_osh),
-                interpret=interpret,
-            )(*a)
+            def kernel(*refs, _ci=ci, _in_metas=in_metas, _in_vars=in_vars,
+                       _emit=tuple(emit_out), _wb=with_bound, _kept=kept):
+                env, envb, lit_vals, pre = make_env(
+                    refs, _ci, _in_metas, _in_vars)
+                outs_vars = (list(pchain.bounds[_ci]) if _wb else [])
+                for ui in _emit:
+                    outs_vars += list(_kept[ui][0])
+                outs = pchain.eval_chunk(_ci, env, envb, bt, lit_vals, pre,
+                                         outs=outs_vars)
+                n_out = (1 if _wb else 0) + len(_emit)
+                out_refs = refs[-n_out:]
+                pos = 0
+                ri = 0
+                if _wb:
+                    nb_ = len(pchain.bounds[_ci])
+                    out_refs[ri][...] = jax.lax.expand_dims(
+                        pack_rows(outs[:nb_], pchain.bound_metas[_ci], bt),
+                        (1,))
+                    pos += nb_
+                    ri += 1
+                for ui in _emit:
+                    kv, km, _ = _kept[ui]
+                    out_refs[ri][...] = jax.lax.expand_dims(
+                        pack_rows(outs[pos: pos + len(kv)], km, bt), (1,))
+                    pos += len(kv)
+                    ri += 1
 
-        rets = list(wrap(f"p{ci}", launch)(*ins))
-        if with_bound:
-            cur = rets.pop(0)
-        red = dict(zip(emit_out, rets))
+            out_specs = ([lane_spec(pchain.bound_rows[ci])] if with_bound
+                         else [])
+            out_shape = ([jax.ShapeDtypeStruct(
+                (pchain.bound_rows[ci], G, S_b, 128), jnp.float32)]
+                if with_bound else [])
+            out_specs += [lane_spec(kept[ui][2]) for ui in emit_out]
+            out_shape += [jax.ShapeDtypeStruct(
+                (kept[ui][2], G, S_b, 128), jnp.float32)
+                for ui in emit_out]
+
+            def launch(*a, _k=kernel, _isp=tuple(in_specs),
+                       _osp=tuple(out_specs), _osh=tuple(out_shape)):
+                return pl.pallas_call(
+                    _k,
+                    grid=(G,),
+                    in_specs=list(_isp),
+                    out_specs=list(_osp),
+                    out_shape=list(_osh),
+                    interpret=interpret,
+                )(*a)
+
+            rets = list(wrap(f"p{ci}", launch)(*ins))
+            if with_bound:
+                cur = rets.pop(0)
+            red = dict(zip(emit_out, rets))
         for ui in emit_here:
             u_ = ch.units[ui]
             kv, km, krows = kept[ui]

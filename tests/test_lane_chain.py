@@ -104,3 +104,27 @@ def test_chained_step_rollout_matches_frozen_scan(cheetah):
     xs_r = jax.vmap(ref_roll)(x0, u, cls.cmask, cls.us)
     np.testing.assert_allclose(np.asarray(xs_c), np.asarray(xs_r),
                                atol=2e-6)
+
+
+def test_chained_linearize_segmented_outputs(cheetah, monkeypatch):
+    """Chunks whose flat output row space exceeds NTPU_CHAIN_OUT_SEG_ROWS
+    emit through multiple launches (each re-running the chunk, writing one
+    row window) — the round-5 fix for the Atlas p6 compile crash (25 MB
+    output blocks; BIGMODEL_STUDY.md). Forced tiny here so several cheetah
+    chunks segment; must match the unsegmented chain exactly."""
+    from nimblephysics_tpu.ops.lane_chain import chained_linearize_vjp
+
+    pl_, x0, u, cls = cheetah
+    B, T = u.shape[:2]
+    nx = x0.shape[-1]
+    xs = jnp.broadcast_to(x0[:, None, :], (B, T, nx))
+    monkeypatch.setenv("NTPU_CHAIN_OUT_SEG_ROWS", "250")
+    fx_s, fu_s = chained_linearize_vjp(
+        pl_, xs, u, (cls.cmask, cls.us), cg_iters=16, budget=8000)
+    monkeypatch.setenv("NTPU_CHAIN_OUT_SEG_ROWS", "99999999")
+    fx_r, fu_r = chained_linearize_vjp(
+        pl_, xs, u, (cls.cmask, cls.us), cg_iters=16, budget=8000)
+    np.testing.assert_allclose(np.asarray(fx_s), np.asarray(fx_r),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fu_s), np.asarray(fu_r),
+                               atol=1e-7)
