@@ -176,7 +176,22 @@ def _wrap(name, f):
     g = _JITS.get(name)
     if g is None:
         print(f"  compiling lin launch {name}", flush=True)
-        g = jax.jit(f, compiler_options=COPTS)
+        jitted = jax.jit(f, compiler_options=COPTS)
+
+        def g(*a, _j=jitted, _n=name):
+            # the remote compile helper 500s non-deterministically on
+            # programs it compiles fine on retry (round-5: p6s1 crashed
+            # where the same-sized p6s0 compiled) — retry before giving up
+            for attempt in range(3):
+                try:
+                    return _j(*a)
+                except Exception as e:  # noqa: BLE001
+                    if attempt == 2:
+                        raise
+                    print(f"  launch {_n} failed "
+                          f"({type(e).__name__}); retrying", flush=True)
+                    time.sleep(10)
+
         _JITS[name] = g
     return g
 
