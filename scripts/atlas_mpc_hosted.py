@@ -182,15 +182,19 @@ def _wrap(name, f):
             # the remote compile helper 500s non-deterministically on
             # programs it compiles fine on retry (round-5: p6s1 crashed
             # where the same-sized p6s0 compiled) — retry before giving up
-            for attempt in range(3):
+            n_try = int(os.environ.get("ATLAS_COMPILE_RETRIES", "6"))
+            for attempt in range(n_try):
                 try:
                     return _j(*a)
                 except Exception as e:  # noqa: BLE001
-                    if attempt == 2:
+                    if attempt == n_try - 1:
                         raise
                     print(f"  launch {_n} failed "
                           f"({type(e).__name__}); retrying", flush=True)
-                    time.sleep(10)
+                    # failures come in multi-minute bursts (round-5
+                    # observation: a window that 500'd 3x compiled
+                    # first-try 20 min later) — back off up to 2 min
+                    time.sleep(min(120, 15 + 15 * attempt))
 
         _JITS[name] = g
     return g
